@@ -1,0 +1,165 @@
+"""Per-layer spectral line preparation as batched jnp ops.
+
+Re-expresses the reference's per-(layer, line) prep kernels
+(gas-optics/src/kernels.c:34-131: calc_line_centers, calc_partition_functions,
+calc_line_strengths, calc_lorentz_hw, calc_doppler_hw) as vectorized array
+math over a (nlayers, nlines) plane.
+
+Precision design (TPU-first, float32-safe): absolute line positions are never
+held in float32.  At grid-bind time each line's center is split on the host in
+float64 into an integer grid index ``c0`` and a fractional offset ``frac0``
+(grid units); the device then tracks only the small pressure-shift correction,
+so wavenumber offsets from line center are exact to float32 epsilon even at
+50000 cm-1 — something neither the CUDA nor the OpenMP reference path needed
+to worry about in double precision.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+from .. import constants
+from . import molecules as mol_registry
+from . import tips as tips_mod
+from .hitran import LineCatalog
+from ..spectral import SpectralGrid
+
+
+@dataclasses.dataclass
+class GridLines:
+    """A line catalog bound to a spectral grid (host-side, numpy).
+
+    ``c0``/``frac0`` encode the unshifted line center as
+    ``(vnn - w0)/dw = c0 + frac0`` with ``|frac0| <= 0.5``.
+    """
+
+    mol_id: int
+    mass_g: float
+    num_iso: int
+    c0: np.ndarray       # (L,) int32
+    frac0: np.ndarray    # (L,) float32
+    vnn: np.ndarray      # (L,) float32 (only used in strength/doppler factors)
+    snn: np.ndarray      # (L,) float32 renormalized strength * 1e20
+    yair: np.ndarray
+    yself: np.ndarray
+    en: np.ndarray
+    n: np.ndarray
+    d: np.ndarray        # pressure shift [cm-1 atm-1]
+    iso0: np.ndarray     # (L,) int32 0-based isotopologue index (clipped)
+
+    @property
+    def num_lines(self) -> int:
+        return int(self.c0.shape[0])
+
+    def pad_to(self, L: int) -> "GridLines":
+        """Pad with zero-strength sentinel lines to a static size."""
+        pad = L - self.num_lines
+        if pad < 0:
+            raise ValueError("pad_to smaller than catalog")
+        if pad == 0:
+            return self
+
+        def pz(a, val=0):
+            return np.concatenate([a, np.full(pad, val, dtype=a.dtype)])
+
+        return GridLines(
+            self.mol_id, self.mass_g, self.num_iso,
+            pz(self.c0, -(10 ** 9)), pz(self.frac0), pz(self.vnn, 1.0),
+            pz(self.snn), pz(self.yair, 1e-3), pz(self.yself, 1e-3),
+            pz(self.en), pz(self.n), pz(self.d), pz(self.iso0),
+        )
+
+
+def bind_to_grid(catalog: LineCatalog, grid: SpectralGrid) -> GridLines:
+    """Split float64 line centers into (int index, float32 fraction)."""
+    mol = mol_registry.get(catalog.mol_id)
+    pos = (catalog.vnn - grid.w0) / grid.dw  # float64
+    c0 = np.floor(pos + 0.5).astype(np.int64)
+    frac0 = (pos - c0).astype(np.float32)
+    num_iso = max(mol.num_isotopologues, 1)
+    iso0 = np.clip(catalog.iso.astype(np.int32) - 1, 0, num_iso - 1)
+    return GridLines(
+        mol_id=int(catalog.mol_id), mass_g=mol.mass_g, num_iso=num_iso,
+        c0=c0.astype(np.int32), frac0=frac0,
+        vnn=catalog.vnn.astype(np.float32),
+        snn=catalog.snn.astype(np.float32),
+        yair=catalog.yair, yself=catalog.yself, en=catalog.en,
+        n=catalog.n, d=catalog.d, iso0=iso0,
+    )
+
+
+@dataclasses.dataclass
+class PreparedLines:
+    """Per-(layer, line) device arrays ready for Voigt accumulation."""
+
+    center_idx: jnp.ndarray   # (nlayers, L) int32 nearest grid index
+    center_frac: jnp.ndarray  # (nlayers, L) f32 fractional grid offset
+    strength: jnp.ndarray     # (nlayers, L) f32, scaled by 1e20
+    lorentz: jnp.ndarray      # (nlayers, L) f32 HWHM [cm-1]
+    doppler: jnp.ndarray      # (nlayers, L) f32 HWHM*sqrt(ln2)-convention
+
+
+def prepare(lines: GridLines, grid: SpectralGrid, pavg, tavg, psavg,
+            tips=None) -> PreparedLines:
+    """Line prep (kernels.c:34-131) for one molecule over all layers.
+
+    Args:
+      lines: grid-bound catalog.
+      pavg, tavg: layer pressure [atm] / temperature [K], shape (nlayers,).
+      psavg: layer partial pressure of this species [atm], (nlayers,).
+      tips: partition-function provider (host-evaluated per layer).
+    """
+    if tips is None:
+        tips = tips_mod.default_tips()
+    c2 = constants.LINE_STRENGTH_C2
+    tref = constants.TREF
+
+    pavg = jnp.asarray(pavg, jnp.float32)[:, None]
+    tavg = jnp.asarray(tavg, jnp.float32)[:, None]
+    psavg = jnp.asarray(psavg, jnp.float32)[:, None]
+
+    d = jnp.asarray(lines.d)
+    frac0 = jnp.asarray(lines.frac0)
+    c0 = jnp.asarray(lines.c0)
+
+    # Pressure-shifted centers in split representation
+    # (calc_line_centers, kernels.c:34-48: vnn = v0 + delta * p).
+    shift = d * pavg / jnp.float32(grid.dw)          # (nlayers, L) grid units
+    frac = frac0[None, :] + shift
+    adj = jnp.floor(frac + 0.5)
+    center_idx = c0[None, :] + adj.astype(jnp.int32)
+    center_frac = frac - adj
+
+    # Partition-function factors per (layer, iso), then a device gather per
+    # line (calc_partition_functions, kernels.c:52-66).  jit-traceable.
+    qinv = tips_mod.q_inverse_layers(
+        tips, lines.mol_id, tavg[:, 0], lines.num_iso)
+    qinv = qinv.astype(jnp.float32)                  # (nlayers, num_iso)
+    qline = jnp.take_along_axis(
+        qinv, jnp.broadcast_to(jnp.asarray(lines.iso0)[None, :],
+                               (qinv.shape[0], lines.num_lines)), axis=1)
+
+    # Temperature-corrected strengths (kernels.c:70-89; uses the *unshifted*
+    # center, see launch.c:117 passing line_params.vnn).
+    en = jnp.asarray(lines.en)
+    vnn0 = jnp.asarray(lines.vnn)
+    s0 = jnp.asarray(lines.snn)
+    strength = s0 * jnp.exp(c2 * en / tavg) * (1.0 - jnp.exp(c2 * vnn0 / tavg)) * qline
+
+    # Lorentz half-widths (kernels.c:93-110).
+    yair = jnp.asarray(lines.yair)
+    yself = jnp.asarray(lines.yself)
+    nn = jnp.asarray(lines.n)
+    lorentz = jnp.power(tref / tavg, nn) * (yair * (pavg - psavg) + yself * psavg)
+
+    # Doppler half-widths (kernels.c:114-131) using the shifted center:
+    # alpha = sqrt(ln2) * vnn * sqrt(2 k T / (m c^2)).
+    vnn_shifted = vnn0 + d * pavg
+    mc2 = jnp.float32(lines.mass_g) * constants.C_CGS * constants.C_CGS
+    doppler = constants.SQRT_LN2 * vnn_shifted * jnp.sqrt(
+        2.0 * constants.KB_CGS * tavg / mc2)
+
+    return PreparedLines(center_idx, center_frac, strength,
+                         lorentz.astype(jnp.float32), doppler.astype(jnp.float32))

@@ -34,11 +34,19 @@ def delta_eddington_scale(omega, g, tau):
 
 def meador_weaver(omega, tau, mu, gamma1, gamma2, gamma3, want_pure: bool):
     """Layer reflectivity/transmittance, Meador & Weaver 1980 eq. 14/15/24
-    with the overflow clamps of shortwave.c:97-207.
+    (shortwave.c:97-207).
+
+    Reformulated for f32: the reference evaluates eq. 14/15 with growing
+    exponentials exp(t*k), exp(t/mu) and clamps t so doubles don't overflow
+    (shortwave.c:133-145).  Here both numerator and denominator are divided
+    through by exp(t*k), leaving only decaying exponentials
+    e1 = exp(-t/mu), ek = exp(-t*k), e2 = exp(-2 t*k) in (0, 1] — the same
+    expression exactly, but overflow-free at any optical depth, so no clamps
+    are needed (underflow to 0 reproduces the reference's clamped limit).
 
     All branches evaluate elementwise and are combined with selects:
       omega <= 0       -> R = 0, T = exp(-tau/mu)
-      tp <= 1 (no gas) -> R = 0, T = 1
+      tau <= 0 (no gas)-> R = 0, T = 1
       omega >= 1       -> conservative scattering (eq. 24)
       else             -> general two-stream (eq. 14/15)
     """
@@ -48,36 +56,32 @@ def meador_weaver(omega, tau, mu, gamma1, gamma2, gamma3, want_pure: bool):
     ksq = gamma1 * gamma1 - gamma2 * gamma2
     k = jnp.sqrt(jnp.maximum(ksq, 1e-12))
 
-    # Optical-depth clamps (shortwave.c:133-145).
     t = tau
-    cond1 = (1.0 / mu > k) & (tau / mu > _MAXEXP)
-    cond2 = tau * k > _MAXEXP
-    t = jnp.where(cond1, _MAXEXP * mu, jnp.where(cond2, _MAXEXP / k, t))
-
-    tp = jnp.exp(jnp.minimum(t / mu, _MAXEXP))
-    tm = jnp.exp(-jnp.minimum(t / mu, _MAXEXP))
-    tkm = jnp.exp(-jnp.minimum(t * k, _MAXEXP))
-    tkp = jnp.exp(jnp.minimum(t * k, _MAXEXP))
+    e1 = jnp.exp(-t / mu)      # = reference tm
+    ek = jnp.exp(-t * k)       # = reference tkm
+    e2 = ek * ek               # = tkm / tkp
 
     # Conservative scattering (eq. 24).
     r_cons = (1.0 / (1.0 + gamma1 * t)) * (gamma1 * t + (gamma3 - gamma1 * mu)
-                                           * (1.0 - tm))
+                                           * (1.0 - e1))
     t_cons = 1.0 - r_cons
 
-    # General case (eq. 14/15) with safe denominators.
-    denom = (1.0 - k * k * mu * mu) * ((k + gamma1) * tkp + (k - gamma1) * tkm)
-    denom = jnp.where(jnp.abs(denom) < 1e-30,
-                      jnp.where(denom < 0, -1e-30, 1e-30), denom)
-    r_gen = (omega / denom) * ((1.0 - k * mu) * (alpha2 + k * gamma3) * tkp
-                               - (1.0 + k * mu) * (alpha2 - k * gamma3) * tkm
-                               - 2.0 * k * (gamma3 - alpha2 * mu) * tm)
-    t_gen = tm * (1.0 - (omega / denom) * (
-        (1.0 + k * mu) * (alpha1 + k * gamma4) * tkp
-        - (1.0 - k * mu) * (alpha1 - k * gamma4) * tkm
-        - 2.0 * k * (gamma4 + alpha1 * mu) * tp))
+    # General case (eq. 14/15), scaled by exp(-t*k); singular only at
+    # k*mu == 1 (removable), guarded with a tiny floor.
+    denom = (1.0 - k * k * mu * mu) * ((k + gamma1) + (k - gamma1) * e2)
+    denom = jnp.where(jnp.abs(denom) < 1e-12,
+                      jnp.where(denom < 0, -1e-12, 1e-12), denom)
+    r_gen = (omega / denom) * ((1.0 - k * mu) * (alpha2 + k * gamma3)
+                               - (1.0 + k * mu) * (alpha2 - k * gamma3) * e2
+                               - 2.0 * k * (gamma3 - alpha2 * mu) * e1 * ek)
+    t_gen = e1 - (omega / denom) * (
+        (1.0 + k * mu) * (alpha1 + k * gamma4) * e1
+        - (1.0 - k * mu) * (alpha1 - k * gamma4) * e1 * e2
+        - 2.0 * k * (gamma4 + alpha1 * mu) * ek)
 
+    tm = e1
     no_scatter = omega <= 0.0
-    no_gas = tp <= 1.0
+    no_gas = tau <= 0.0
     conservative = omega >= 1.0
 
     r = jnp.where(no_scatter, 0.0,

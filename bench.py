@@ -1,0 +1,101 @@
+"""Headline benchmark: longwave line-by-line pass throughput on one chip.
+
+Workload mirrors the reference's RFMIP-IRF production configuration
+(GRTworkflow/run-rfmip-irf.sh:18-28): LW band 1-3250 cm-1 at 0.1 cm-1
+(32 491 spectral points), ~54 layers, full Voigt line-by-line gas optics
+plus the four-stream longwave solver.  Metric is the north-star
+column x layer x wavenumber grid-points per second per chip
+(/root/repo/BASELINE.json).
+
+vs_baseline: the reference processes 1800 columns on 10 GAEA C5 nodes
+(128-core AMD) in <= 15 min => ~0.2 columns/s/node x (32491 x 60)
+points/column ~= 3.9e5 grid-points/s per 128-core node.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+import json
+import sys
+import time
+
+import numpy as np
+
+REF_POINTS_PER_S = 3.9e5  # per 128-core GAEA C5 node (see module docstring)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from grtcode_tpu.spectral import SpectralGrid
+    from grtcode_tpu.gas_optics.gas_optics import GasOptics
+    from grtcode_tpu.gas_optics.hitran import synthetic_catalog
+    from grtcode_tpu.solvers.longwave import longwave_fluxes
+
+    dev = jax.devices()[0]
+    print(f"bench device: {dev.platform} ({dev.device_kind})", file=sys.stderr)
+
+    grid = SpectralGrid(1.0, 3250.0, 0.1)     # 32 491 points
+    nlayers = 54
+    B = 4                                      # columns per step
+    nlines_h2o, nlines_co2 = 16384, 8192       # HITRAN-scale LW line counts
+
+    def catalog(mol_id, L, seed):
+        rng = np.random.default_rng(seed)
+        vnn = np.sort(rng.uniform(grid.w0, grid.last, L))
+        return synthetic_catalog(
+            mol_id, vnn, rng.uniform(1e-23, 1e-19, L),
+            yair=rng.uniform(0.02, 0.1, L), yself=rng.uniform(0.05, 0.4, L),
+            en=rng.uniform(0.0, 2000.0, L), n=rng.uniform(0.4, 0.8, L),
+            d=rng.uniform(-0.01, 0.01, L))
+
+    gas = GasOptics(grid, line_chunk=1024)
+    gas.add_catalog(catalog(1, nlines_h2o, 0))
+    gas.add_catalog(catalog(2, nlines_co2, 1))
+
+    rng = np.random.default_rng(7)
+    nlev = nlayers + 1
+    p_lev = jnp.asarray(
+        np.linspace(0.01, 1013.0, nlev)[None, :] * np.ones((B, 1)),
+        jnp.float32)
+    t_lev = jnp.asarray(
+        np.linspace(210.0, 290.0, nlev)[None, :]
+        + rng.uniform(-5, 5, (B, nlev)), jnp.float32)
+    t_surf = t_lev[:, -1] + 1.5
+    vmr = jnp.asarray(rng.uniform(1e-6, 1e-2, (B, 2, nlev)), jnp.float32)
+    emis = jnp.ones((B, grid.n), jnp.float32)
+    w = grid.wavenumbers()
+
+    @jax.jit
+    def step(p_lev, t_lev, t_surf, vmr, emis):
+        def column(p, t, ts, v, e):
+            tau = gas.optical_depth(p, t, {1: v[0], 2: v[1]})
+            t_layers = 0.5 * (t[:-1] + t[1:])
+            return longwave_fluxes(tau, jnp.zeros_like(tau), ts,
+                                   t_layers, t, e, w)
+        return jax.vmap(column)(p_lev, t_lev, t_surf, vmr, emis)
+
+    args = (p_lev, t_lev, t_surf, vmr, emis)
+    t0 = time.perf_counter()
+    jax.block_until_ready(step(*args))
+    compile_s = time.perf_counter() - t0
+    print(f"compile+first step: {compile_s:.1f}s", file=sys.stderr)
+
+    iters = 3
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = step(*args)
+    jax.block_until_ready(out)
+    elapsed = time.perf_counter() - t0
+
+    points = B * nlayers * grid.n * iters
+    value = points / elapsed
+    print(f"{iters} steps in {elapsed:.3f}s", file=sys.stderr)
+    print(json.dumps({
+        "metric": "lw_gridpoints_per_s_per_chip",
+        "value": value,
+        "unit": "column*layer*wavenumber points/s",
+        "vs_baseline": value / REF_POINTS_PER_S,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -53,15 +53,21 @@ class WaterVaporContinuum:
             t0f=load("CKDF.csv", 3),
         )
 
-    def optical_depth(self, ns, pavg, tavg, psavg):
+    def optical_depth(self, ns, pavg, tavg, psavg, cs=None, cf=None,
+                      t0s=None, t0f=None):
         """tau contribution (kernels.c:469-491):
 
         ``tau += N (296/T) [Cs Ps e^{T0s (296-T)} + Cf (P-Ps) e^{T0f (296-T)}]``
 
         Args: per-layer (nlayers,) arrays — H2O column density ns [cm-2],
         layer pressure pavg [atm], temperature tavg [K], H2O partial
-        pressure psavg [atm].  Returns (nlayers, n_w).
+        pressure psavg [atm].  cs/cf/t0s/t0f optionally override the grid
+        tables with a spectral-shard slice.  Returns (nlayers, n_w).
         """
+        cs = self.cs if cs is None else cs
+        cf = self.cf if cf is None else cf
+        t0s = self.t0s if t0s is None else t0s
+        t0f = self.t0f if t0f is None else t0f
         tref = constants.TREF
         t = jnp.asarray(tavg, jnp.float32)[:, None]
         p = jnp.asarray(pavg, jnp.float32)[:, None]
@@ -69,8 +75,8 @@ class WaterVaporContinuum:
         n = jnp.asarray(ns, jnp.float32)[:, None]
         dt = tref - t
         return n * (tref / t) * (
-            self.cs[None, :] * ps * jnp.exp(self.t0s[None, :] * dt)
-            + self.cf[None, :] * (p - ps) * jnp.exp(self.t0f[None, :] * dt))
+            cs[None, :] * ps * jnp.exp(t0s[None, :] * dt)
+            + cf[None, :] * (p - ps) * jnp.exp(t0f[None, :] * dt))
 
 
 @dataclasses.dataclass

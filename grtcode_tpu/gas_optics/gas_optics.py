@@ -28,7 +28,7 @@ from . import tips as tips_mod
 from .continua import OzoneContinuum, WaterVaporContinuum
 from .hitran import LineCatalog, parse_par_file
 from .molecules import MoleculeId
-from .optical_depth import optical_depth_line_sample
+from .optical_depth import accumulate_tiled, optical_depth_line_sample
 from .xsec import CrossSectionTable, cfc_optical_depth, cia_optical_depth
 
 
@@ -43,7 +43,11 @@ class GasOptics:
     o3_ctm: OzoneContinuum | None = None
     tips: object = None
     line_chunk: int = 1024
+    method: str = "tiled"      # "tiled" (TPU production) | "scatter"
+    tile: int = 512            # spectral tile width for the tiled method
+    tile_lchunk: int = 128     # lines per tiled reduction step
     molecules: dict = dataclasses.field(default_factory=dict)  # id -> GridLines
+    tiles: dict = dataclasses.field(default_factory=dict)      # id -> LineTiles
     cfcs: dict = dataclasses.field(default_factory=dict)       # id -> table
     cias: list = dataclasses.field(default_factory=list)       # (id1, id2, table)
 
@@ -53,6 +57,11 @@ class GasOptics:
         if not (constants.MIN_LINE_CUTOFF <= self.wcutoff
                 <= constants.MAX_LINE_CUTOFF):
             raise ValueError(f"cutoff {self.wcutoff} outside allowed range")
+        # Cap the tile so even small grids split into >= ~8 tiles (keeps
+        # spectral sharding meaningful in tests; production grids are far
+        # larger than the default tile anyway).
+        eighth = -(-self.grid.n // 8)
+        self.tile = min(self.tile, max(8, -(-eighth // 8) * 8))
 
     # -- registration (host side, mirrors add_molecule/add_cfc/add_cia) ----
     def add_molecule(self, mol_id, min_line_center: float | None = None,
@@ -76,6 +85,11 @@ class GasOptics:
             max(self.line_chunk,
                 -(-bound.num_lines // self.line_chunk) * self.line_chunk))
         self.molecules[catalog.mol_id] = padded
+        import math as _math
+        fsteps = int(_math.ceil(self.wcutoff / self.grid.dw))
+        self.tiles[catalog.mol_id] = lines_mod.build_tiles(
+            padded, self.grid.n, fsteps, tile=self.tile,
+            lane_multiple=self.tile_lchunk)
 
     def add_cfc(self, cfc_id, path: str):
         table = CrossSectionTable.from_file(int(cfc_id), path, self.grid)
@@ -91,7 +105,8 @@ class GasOptics:
     def optical_depth(self, level_pressure_mb, level_temperature,
                       vmr: Mapping[int, jnp.ndarray],
                       cfc_vmr: Mapping[int, jnp.ndarray] | None = None,
-                      cia_vmr: Mapping[int, jnp.ndarray] | None = None):
+                      cia_vmr: Mapping[int, jnp.ndarray] | None = None,
+                      block_start=None, block_size: int | None = None):
         """Single-column gas optical depth (nlayers, n_w).
 
         Args:
@@ -100,6 +115,10 @@ class GasOptics:
           vmr: molecule id -> (nlevels,) mole fraction (NOT ppmv; multiply
             ppmv by 1e-6, gas_optics.c:308-312).
           cfc_vmr / cia_vmr: same for cross-section species / CIA species.
+          block_start / block_size: when set, compute only the spectral
+            window [block_start, block_start + block_size) — ``block_start``
+            may be traced (spectral-shard index * block), ``block_size`` is
+            static.  Result shape becomes (nlayers, block_size).
 
         Pure function of its array arguments — jit / vmap / pjit freely.
         """
@@ -110,29 +129,70 @@ class GasOptics:
         n = cg.number_densities(p_atm)
         pavg, tavg = cg.layer_pressures_temperatures(p_atm, t)
 
+        start = 0 if block_start is None else block_start
+        nw = self.grid.n if block_size is None else block_size
+
+        def spectral(table):
+            """Slice a (n_w,) grid table to the active window."""
+            if block_start is None and block_size is None:
+                return table
+            return jax.lax.dynamic_slice_in_dim(
+                _pad_table(table, nw), jnp.asarray(start, jnp.int32), nw)
+
         nlayers = p_atm.shape[-1] - 1
-        tau = jnp.zeros((nlayers, self.grid.n), jnp.float32)
+        tau = jnp.zeros((nlayers, nw), jnp.float32)
 
         for mol_id, bound in self.molecules.items():
             x = jnp.asarray(vmr[mol_id], jnp.float32)
             psavg, ns = cg.partial_pressures_and_densities(p_atm, x, n)
             prep = lines_mod.prepare(bound, self.grid, pavg, tavg, psavg,
                                      tips=self.tips)
-            tau = optical_depth_line_sample(
-                prep, ns, self.grid, cutoff=self.wcutoff,
-                chunk=self.line_chunk, tau0=tau)
+            if self.method == "tiled":
+                tiles = self.tiles[mol_id]
+                # NOTE: block_start must be a multiple of self.tile.
+                tau = accumulate_tiled(
+                    prep.center_idx, prep.center_frac, prep.strength,
+                    prep.lorentz, prep.doppler, ns,
+                    jnp.asarray(tiles.tile_lines),
+                    num_wpoints=nw, dw=float(self.grid.dw),
+                    fsteps=tiles.fsteps, tile=tiles.tile,
+                    lchunk=self.tile_lchunk, tau0=tau, start=start,
+                    num_global=self.grid.n)
+            else:
+                tau = optical_depth_line_sample(
+                    prep, ns, self.grid, cutoff=self.wcutoff,
+                    chunk=self.line_chunk, tau0=tau, start=start,
+                    block=None if block_size is None else nw)
             if mol_id == int(MoleculeId.H2O) and self.h2o_ctm is not None:
-                tau = tau + self.h2o_ctm.optical_depth(ns, pavg, tavg, psavg)
+                ctm = self.h2o_ctm
+                tau = tau + ctm.optical_depth(ns, pavg, tavg, psavg,
+                                              cs=spectral(ctm.cs),
+                                              cf=spectral(ctm.cf),
+                                              t0s=spectral(ctm.t0s),
+                                              t0f=spectral(ctm.t0f))
             elif mol_id == int(MoleculeId.O3) and self.o3_ctm is not None:
-                tau = tau + self.o3_ctm.optical_depth(ns)
+                tau = tau + jnp.asarray(ns, jnp.float32)[:, None] * \
+                    spectral(self.o3_ctm.cross_section)[None, :]
 
         for cfc_id, table in self.cfcs.items():
             x = jnp.asarray(cfc_vmr[cfc_id], jnp.float32)
-            tau = tau + cfc_optical_depth(table, n, x)
+            tau = tau + cfc_optical_depth(table, n, x,
+                                          xs=spectral(table.cross_section))
 
         for s1, s2, table in self.cias:
             x1 = jnp.asarray(cia_vmr[s1], jnp.float32)
             x2 = jnp.asarray(cia_vmr[s2], jnp.float32)
-            tau = tau + cia_optical_depth(table, p_atm, tavg, x1, x2)
+            tau = tau + cia_optical_depth(table, p_atm, tavg, x1, x2,
+                                          xs=spectral(table.cross_section))
 
         return tau
+
+
+def _pad_table(table, block: int):
+    """Zero-pad a (n_w,) table so any block-aligned dynamic slice is in
+    bounds (the last spectral shard may extend past the grid end)."""
+    n = table.shape[-1]
+    padded = -(-n // block) * block
+    if padded == n:
+        return table
+    return jnp.pad(table, (0, padded - n))

@@ -64,30 +64,92 @@ class GridLines:
         def pz(a, val=0):
             return np.concatenate([a, np.full(pad, val, dtype=a.dtype)])
 
+        # Sentinel center +1e9 is out of every grid (so the validity test
+        # rejects it) and keeps ``c0`` sorted for tile bucketing.
         return GridLines(
             self.mol_id, self.mass_g, self.num_iso,
-            pz(self.c0, -(10 ** 9)), pz(self.frac0), pz(self.vnn, 1.0),
+            pz(self.c0, 10 ** 9), pz(self.frac0), pz(self.vnn, 1.0),
             pz(self.snn), pz(self.yair, 1e-3), pz(self.yself, 1e-3),
             pz(self.en), pz(self.n), pz(self.d), pz(self.iso0),
         )
 
 
 def bind_to_grid(catalog: LineCatalog, grid: SpectralGrid) -> GridLines:
-    """Split float64 line centers into (int index, float32 fraction)."""
+    """Split float64 line centers into (int index, float32 fraction).
+
+    Lines are sorted by center (the reference sorts per layer on device,
+    kernels.c:135-173; centers shift by at most ~|d|*p so a host sort by
+    unshifted center gives the same locality)."""
     mol = mol_registry.get(catalog.mol_id)
-    pos = (catalog.vnn - grid.w0) / grid.dw  # float64
+    order = np.argsort(catalog.vnn, kind="stable")
+    vnn = catalog.vnn[order]
+    pos = (vnn - grid.w0) / grid.dw  # float64
     c0 = np.floor(pos + 0.5).astype(np.int64)
     frac0 = (pos - c0).astype(np.float32)
     num_iso = max(mol.num_isotopologues, 1)
-    iso0 = np.clip(catalog.iso.astype(np.int32) - 1, 0, num_iso - 1)
+    iso0 = np.clip(catalog.iso[order].astype(np.int32) - 1, 0, num_iso - 1)
     return GridLines(
         mol_id=int(catalog.mol_id), mass_g=mol.mass_g, num_iso=num_iso,
         c0=c0.astype(np.int32), frac0=frac0,
-        vnn=catalog.vnn.astype(np.float32),
-        snn=catalog.snn.astype(np.float32),
-        yair=catalog.yair, yself=catalog.yself, en=catalog.en,
-        n=catalog.n, d=catalog.d, iso0=iso0,
+        vnn=vnn.astype(np.float32),
+        snn=catalog.snn[order].astype(np.float32),
+        yair=catalog.yair[order], yself=catalog.yself[order],
+        en=catalog.en[order], n=catalog.n[order], d=catalog.d[order],
+        iso0=iso0,
     )
+
+
+@dataclasses.dataclass
+class LineTiles:
+    """Host-precomputed spectral-tile -> line-list mapping.
+
+    TPU re-architecture of the reference's line->grid scatter
+    (omp atomic / atomicAdd, kernels.c:410-465, cuda_kernels.c:37-50):
+    TPUs have no atomics and XLA lowers large scatter-adds poorly, so the
+    scatter is inverted into per-tile *gathers* — tile t sums the Voigt
+    contributions of the (padded, static-size) list of lines whose
+    +-cutoff windows can touch grid points [t*tile, (t+1)*tile).  This is
+    the bin-sweep structure (kernels.c:177-304) recast with dense masked
+    reductions instead of bracketing loops.
+    """
+
+    tile: int                 # grid points per tile
+    fsteps: int               # half-window in grid points
+    tile_lines: np.ndarray    # (ntiles, lmax) int32 line indices, -1 = pad
+
+    @property
+    def ntiles(self) -> int:
+        return int(self.tile_lines.shape[0])
+
+    @property
+    def lmax(self) -> int:
+        return int(self.tile_lines.shape[1])
+
+
+def build_tiles(lines: GridLines, num_wpoints: int, fsteps: int,
+                tile: int = 512, shift_margin: int = 2,
+                lane_multiple: int = 8) -> LineTiles:
+    """Bucket grid-bound (sorted) lines into overlapping spectral tiles.
+
+    ``shift_margin`` covers pressure-induced center drift (|d| * p is well
+    under one grid point for HITRAN shifts at <= a few atm; 2 points is
+    generous).  Per-tile lists are padded to a common multiple-of-
+    ``lane_multiple`` length with -1.
+    """
+    ntiles = -(-num_wpoints // tile)
+    reach = fsteps + shift_margin
+    c0 = lines.c0
+    # Sorted centers -> contiguous [lo, hi) index range per tile.
+    lo = np.searchsorted(c0, np.arange(ntiles) * tile - reach, side="left")
+    hi = np.searchsorted(c0, np.arange(ntiles) * tile + (tile - 1) + reach,
+                         side="right")
+    counts = hi - lo
+    lmax = max(int(counts.max()) if counts.size else 0, 1)
+    lmax = -(-lmax // lane_multiple) * lane_multiple
+    tile_lines = np.full((ntiles, lmax), -1, dtype=np.int32)
+    for t in range(ntiles):
+        tile_lines[t, :counts[t]] = np.arange(lo[t], hi[t], dtype=np.int32)
+    return LineTiles(tile=tile, fsteps=fsteps, tile_lines=tile_lines)
 
 
 @dataclasses.dataclass

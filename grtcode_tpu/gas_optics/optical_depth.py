@@ -34,10 +34,12 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-@partial(jax.jit, static_argnames=("num_wpoints", "dw", "fsteps", "chunk"))
+@partial(jax.jit,
+         static_argnames=("num_wpoints", "dw", "fsteps", "chunk", "num_global"))
 def accumulate_line_sample(center_idx, center_frac, strength, lorentz, doppler,
                            ns, *, num_wpoints: int, dw: float, fsteps: int,
-                           chunk: int = 1024, tau0=None):
+                           chunk: int = 1024, tau0=None, start=0,
+                           num_global: int | None = None):
     """Accumulate per-line Voigt contributions into tau.
 
     Args:
@@ -50,9 +52,17 @@ def accumulate_line_sample(center_idx, center_frac, strength, lorentz, doppler,
       fsteps: half-window in grid points (= ceil(cutoff/dw)).
       chunk: lines per scan step (static).
       tau0: optional (nlayers, num_wpoints) to accumulate into.
+      start: first (global) grid index of the output block — traced; lets a
+        spectral shard accumulate only its ``num_wpoints``-wide window.
+      num_global: total grid size for the center-validity test
+        (kernels.c:433 checks the *full*-grid bounds); defaults to
+        ``num_wpoints`` (unsharded).
 
-    Returns (nlayers, num_wpoints) optical depth.
+    Returns (nlayers, num_wpoints) optical depth for grid points
+    ``[start, start + num_wpoints)``.
     """
+    if num_global is None:
+        num_global = num_wpoints
     nlayers, L = strength.shape
     Lp = _round_up(max(L, 1), chunk)
     pad = Lp - L
@@ -79,13 +89,16 @@ def accumulate_line_sample(center_idx, center_frac, strength, lorentz, doppler,
     if tau0 is None:
         tau0 = jnp.zeros((nlayers, num_wpoints), jnp.float32)
 
+    start = jnp.asarray(start, jnp.int32)
+
     def body(tau, args):
         cidx, cfrac, s, lor, dop = args                      # (nlayers, C)
-        f = cidx[..., None] + offsets[None, None, :]         # (nlayers, C, G)
+        local = cidx - start                                 # block-local index
+        f = local[..., None] + offsets[None, None, :]        # (nlayers, C, G)
         # Offset from line center, exact in f32 (split representation).
         dv = (offs_f[None, None, :] - cfrac[..., None]) * jnp.float32(dw)
         k = voigt_line_shape(dv, lor[..., None], dop[..., None])
-        valid_center = (cidx >= 0) & (cidx < num_wpoints)    # kernels.c:433
+        valid_center = (cidx >= 0) & (cidx < num_global)     # kernels.c:433
         in_bounds = (f >= 0) & (f < num_wpoints)
         vals = jnp.where(valid_center[..., None] & in_bounds,
                          s[..., None] * ns_scaled * k, 0.0)
@@ -98,12 +111,102 @@ def accumulate_line_sample(center_idx, center_frac, strength, lorentz, doppler,
     return tau
 
 
+@partial(jax.jit, static_argnames=("num_wpoints", "dw", "fsteps", "tile",
+                                   "lchunk", "num_global"))
+def accumulate_tiled(center_idx, center_frac, strength, lorentz, doppler,
+                     ns, tile_lines, *, num_wpoints: int, dw: float,
+                     fsteps: int, tile: int, lchunk: int = 128, tau0=None,
+                     start=0, num_global: int | None = None):
+    """Tile-gather Voigt accumulation — the TPU production path.
+
+    Inverts the reference's line->grid scatter (kernels.c:410-465 with
+    omp atomic / atomicAdd) into per-tile gathers: spectral tile t sums the
+    masked Voigt contributions of the host-precomputed line list
+    ``tile_lines[t]`` over its ``tile`` grid points.  Dense elementwise +
+    reduction only — no scatters, so XLA lowers it to straight VPU loops
+    (the scatter formulation materializes gigabytes of iota/select temps
+    on TPU).
+
+    Args mirror :func:`accumulate_line_sample`; additionally:
+      tile_lines: (ntiles_global, lmax) int32 from
+        :func:`grtcode_tpu.gas_optics.lines.build_tiles`, -1 padded.
+      tile: grid points per tile (static).
+      lchunk: lines per inner reduction step (static; bounds the
+        (nlayers, lchunk, tile) temp).
+      start: global index of the output block; MUST be tile-aligned.
+
+    Returns (nlayers, num_wpoints) optical depth for grid points
+    [start, start + num_wpoints).
+    """
+    if num_global is None:
+        num_global = num_wpoints
+    nlayers, L = strength.shape
+    ntiles_block = -(-num_wpoints // tile)
+    lmax = tile_lines.shape[1]
+    lmax_p = _round_up(lmax, lchunk)
+    if lmax_p != lmax:
+        tile_lines = jnp.pad(tile_lines, ((0, 0), (0, lmax_p - lmax)),
+                             constant_values=-1)
+    start = jnp.asarray(start, jnp.int32)
+
+    # The block's rows of the global tile table.  Row indices are clipped
+    # (a gather, not a slice: slice clamping would shift *every* row and
+    # pair tiles with the wrong line lists); rows past the table cover
+    # only grid points >= num_global, so their output is zeroed.
+    ntiles_global = tile_lines.shape[0]
+    row_idx = start // tile + jnp.arange(ntiles_block, dtype=jnp.int32)
+    rows = jnp.take(tile_lines, jnp.clip(row_idx, 0, ntiles_global - 1),
+                    axis=0)                             # (ntiles, lmax_p)
+    row_valid = (row_idx >= 0) & (row_idx < ntiles_global)
+
+    pts = jnp.arange(tile, dtype=jnp.int32)             # (T,)
+    ns_scaled = (jnp.asarray(ns, jnp.float32) / STRENGTH_SCALE)[:, None, None]
+
+    def one_tile(tile_i, row, valid_tile):
+        g = start + tile_i * tile + pts                 # (T,) global indices
+
+        def chunk_step(acc, line_idx):                  # line_idx: (lchunk,)
+            valid = line_idx >= 0
+            li = jnp.maximum(line_idx, 0)
+            cidx = center_idx[:, li]                    # (nlayers, C)
+            cfrac = center_frac[:, li]
+            s = strength[:, li]
+            lor = lorentz[:, li]
+            dop = doppler[:, li]
+            delta = g[None, None, :] - cidx[..., None]  # (nlayers, C, T) int
+            dv = (delta.astype(jnp.float32) - cfrac[..., None]) * \
+                jnp.float32(dw)
+            k = voigt_line_shape(dv, lor[..., None], dop[..., None])
+            mask = (jnp.abs(delta) <= fsteps) & \
+                (cidx[..., None] >= 0) & (cidx[..., None] < num_global) & \
+                valid[None, :, None]
+            contrib = jnp.where(mask, s[..., None] * ns_scaled * k, 0.0)
+            return acc + contrib.sum(axis=1), None
+
+        acc0 = jnp.zeros((nlayers, tile), jnp.float32)
+        acc, _ = jax.lax.scan(chunk_step, acc0,
+                              row.reshape(-1, lchunk))
+        return jnp.where(valid_tile, acc, 0.0)          # (nlayers, T)
+
+    tau_tiles = jax.lax.map(
+        lambda args: one_tile(*args),
+        (jnp.arange(ntiles_block, dtype=jnp.int32), rows, row_valid))
+    tau = tau_tiles.transpose(1, 0, 2).reshape(nlayers, ntiles_block * tile)
+    tau = tau[:, :num_wpoints]
+    return tau if tau0 is None else tau0 + tau
+
+
 def optical_depth_line_sample(prep: PreparedLines, ns, grid, *,
                               cutoff: float = constants.DEFAULT_LINE_CUTOFF,
-                              chunk: int = 1024, tau0=None):
-    """Convenience wrapper taking PreparedLines + SpectralGrid."""
+                              chunk: int = 1024, tau0=None, start=0,
+                              block: int | None = None):
+    """Convenience wrapper taking PreparedLines + SpectralGrid.
+
+    ``start``/``block`` select a spectral sub-window (for sharded grids):
+    the result covers grid points [start, start + block)."""
     fsteps = int(math.ceil(cutoff / grid.dw))
     return accumulate_line_sample(
         prep.center_idx, prep.center_frac, prep.strength, prep.lorentz,
-        prep.doppler, ns, num_wpoints=grid.n, dw=float(grid.dw),
-        fsteps=fsteps, chunk=chunk, tau0=tau0)
+        prep.doppler, ns, num_wpoints=grid.n if block is None else block,
+        dw=float(grid.dw), fsteps=fsteps, chunk=chunk, tau0=tau0,
+        start=start, num_global=grid.n)

@@ -37,19 +37,22 @@ class CrossSectionTable:
                    cross_section=jnp.asarray(y, jnp.float32))
 
 
-def cfc_optical_depth(xsec: CrossSectionTable, n, x_levels):
+def cfc_optical_depth(xsec: CrossSectionTable, n, x_levels, xs=None):
     """tau += 0.5 * n * (x_i + x_{i+1}) * sigma(w) (kernels.c:585-601).
 
-    Args: air column density n (nlayers,), level mole fraction x (nlevels,).
+    Args: air column density n (nlayers,), level mole fraction x (nlevels,);
+    ``xs`` optionally overrides the cross-section with a spectral-shard slice.
     """
+    if xs is None:
+        xs = xsec.cross_section
     n = jnp.asarray(n, jnp.float32)
     x = jnp.asarray(x_levels, jnp.float32)
     xavg = 0.5 * (x[:-1] + x[1:])
-    return (n * xavg)[:, None] * xsec.cross_section[None, :]
+    return (n * xavg)[:, None] * xs[None, :]
 
 
 def cia_optical_depth(xsec: CrossSectionTable, p_levels, tavg, x1_levels,
-                      x2_levels):
+                      x2_levels, xs=None):
     """Collision-induced absorption (kernels.c:605-630):
 
     ``n2 = |c (p_i^2 - p_{i+1}^2)/T * 1/4 (x1_i + x1_{i+1})(x2_i + x2_{i+1})|``
@@ -57,8 +60,11 @@ def cia_optical_depth(xsec: CrossSectionTable, p_levels, tavg, x1_levels,
     [K atm-2 cm-5] built from air mass / gravity / k_B (kernels.c:611-615).
 
     Args: level pressure [atm] (nlevels,), layer temperature (nlayers,),
-    level mole fractions of both species.
+    level mole fractions of both species; ``xs`` optionally overrides the
+    cross-section with a spectral-shard slice.
     """
+    if xs is None:
+        xs = xsec.cross_section
     p = jnp.asarray(p_levels, jnp.float32)
     t = jnp.asarray(tavg, jnp.float32)
     x1 = jnp.asarray(x1_levels, jnp.float32)
@@ -67,4 +73,4 @@ def cia_optical_depth(xsec: CrossSectionTable, p_levels, tavg, x1_levels,
     n2 = c * ((p[:-1] ** 2 - p[1:] ** 2) / t) * 0.25 * \
         (x1[:-1] + x1[1:]) * (x2[:-1] + x2[1:])
     n2 = jnp.abs(n2)
-    return n2[:, None] * xsec.cross_section[None, :]
+    return n2[:, None] * xs[None, :]

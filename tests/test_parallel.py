@@ -1,0 +1,94 @@
+"""Sharded (columns x spectral) step == single-device step.
+
+SURVEY.md §4: the reference has no multi-node test harness (real SLURM
+only); here the sharded path is unit-tested on 8 simulated CPU devices.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from grtcode_tpu.spectral import SpectralGrid
+from grtcode_tpu.gas_optics.gas_optics import GasOptics
+from grtcode_tpu.gas_optics.hitran import synthetic_catalog
+from grtcode_tpu.parallel import ClearSkyRT, make_mesh
+from grtcode_tpu.solvers.solar_flux import SolarFlux
+
+
+def _catalog(mol_id, w_lo, w_hi, L, seed):
+    rng = np.random.default_rng(seed)
+    vnn = np.sort(rng.uniform(w_lo, w_hi, L))
+    return synthetic_catalog(
+        mol_id, vnn, rng.uniform(1e-22, 1e-19, L),
+        yair=rng.uniform(0.02, 0.1, L), yself=rng.uniform(0.05, 0.4, L),
+        en=rng.uniform(0.0, 2000.0, L), n=rng.uniform(0.4, 0.8, L),
+        d=rng.uniform(-0.01, 0.01, L))
+
+
+@pytest.fixture(scope="module")
+def model():
+    lw_grid = SpectralGrid(200.0, 500.0, 0.25)
+    sw_grid = SpectralGrid(2000.0, 3000.0, 1.0)
+    lw_gas = GasOptics(lw_grid, line_chunk=64)
+    lw_gas.add_catalog(_catalog(1, 180.0, 520.0, 120, 0))
+    lw_gas.add_catalog(_catalog(2, 180.0, 520.0, 80, 1))
+    sw_gas = GasOptics(sw_grid, line_chunk=64)
+    sw_gas.add_catalog(_catalog(1, 1980.0, 3020.0, 90, 2))
+    solar = SolarFlux.from_samples(
+        np.linspace(1900.0, 3100.0, 50),
+        np.full(50, 1.0), sw_grid)
+    return ClearSkyRT(lw_gas=lw_gas, sw_gas=sw_gas, solar=solar)
+
+
+@pytest.fixture(scope="module")
+def batch():
+    rng = np.random.default_rng(7)
+    B, nlev = 8, 12
+    p = np.linspace(0.01, 1013.0, nlev)[None, :] * \
+        rng.uniform(0.9, 1.1, (B, 1))
+    t = np.linspace(210.0, 290.0, nlev)[None, :] + \
+        rng.uniform(-5, 5, (B, nlev))
+    return {
+        "p_lev": jnp.asarray(p, jnp.float32),
+        "t_lev": jnp.asarray(t, jnp.float32),
+        "t_surf": jnp.asarray(t[:, -1] + rng.uniform(0, 3, B), jnp.float32),
+        "emis": jnp.asarray(rng.uniform(0.9, 1.0, B), jnp.float32),
+        "mu_dir": jnp.asarray(
+            np.where(np.arange(B) % 3 == 0, -0.1,
+                     rng.uniform(0.2, 0.9, B)), jnp.float32),
+        "albedo_dir": jnp.asarray(rng.uniform(0.05, 0.4, B), jnp.float32),
+        "albedo_dif": jnp.asarray(rng.uniform(0.05, 0.4, B), jnp.float32),
+        "tsi": jnp.full((B,), 1361.0, jnp.float32),
+        "vmr_lw": jnp.asarray(
+            rng.uniform(1e-6, 1e-2, (B, 2, nlev)), jnp.float32),
+        "vmr_sw": jnp.asarray(
+            rng.uniform(1e-6, 1e-2, (B, 1, nlev)), jnp.float32),
+    }
+
+
+@pytest.fixture(scope="module")
+def reference_fluxes(model, batch):
+    return jax.tree.map(np.asarray, model.step(mesh=None)(batch))
+
+
+@pytest.mark.parametrize("shape", [(8, 1), (1, 8), (4, 2), (2, 4)])
+def test_sharded_matches_single(model, batch, reference_fluxes, shape):
+    mesh = make_mesh(*shape)
+    out = model.step(mesh=mesh)(batch)
+    for k in ("rlu", "rld", "rsu", "rsd"):
+        np.testing.assert_allclose(np.asarray(out[k]), reference_fluxes[k],
+                                   rtol=2e-5, atol=2e-4, err_msg=k)
+
+
+def test_night_columns_have_zero_sw(reference_fluxes, batch):
+    night = np.asarray(batch["mu_dir"]) <= 0.0
+    assert night.any()
+    assert np.all(reference_fluxes["rsu"][night] == 0.0)
+    assert np.all(reference_fluxes["rsd"][night] == 0.0)
+
+
+def test_fluxes_physical(reference_fluxes):
+    for k in ("rlu", "rld", "rsu", "rsd"):
+        v = reference_fluxes[k]
+        assert np.isfinite(v).all(), k
+        assert (v >= -1e-3).all(), k

@@ -1,0 +1,123 @@
+"""CIRC benchmark application (circ/src/circ.c, basic-circ-test.c).
+
+Case 1 ships embedded (grtcode_tpu/data/circ1.npz, ported from the public
+NASA CIRC data embedded in circ/src/circ1.h); other cases load from the
+CIRC netCDF inputs when available.  Reference integrated-flux values for
+case 1 (LBLRTM and the CIRC multi-model mean) are pinned from
+basic-circ-test.c:444-501.
+"""
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from ..framework import Atmosphere, RadiationDriver, \
+    pressure_interp_layers_to_levels
+from ..gas_optics.gas_optics import GasOptics
+from ..gas_optics.molecules import MoleculeId, CfcId, CiaId
+from ..solvers.solar_flux import SolarFlux
+from ..spectral import SpectralGrid
+
+DATA = os.path.join(os.path.dirname(__file__), "..", "data", "circ1.npz")
+
+# basic-circ-test.c:444-501 (W m-2).
+CASE1_REFERENCE = {
+    "RLUTCSAF": {"lblrtm": 304.27, "circ_mean": 301.7},
+    "RLUSCSAF": {"lblrtm": 445.12, "circ_mean": None},
+    "RLDSCSAF": {"lblrtm": 288.2, "circ_mean": 289.7},
+    "RSDTCSAF": {"lblrtm": 912.79, "circ_mean": None},
+    "RSUTCSAF": {"lblrtm": 175.0, "circ_mean": 169.8},
+    "RSDSCSAF": {"lblrtm": 701.2, "circ_mean": 705.9},
+    "RSUSCSAF": {"lblrtm": 137.40, "circ_mean": None},
+}
+
+# Gases the CIRC binary registers (circ.c:234-268 / basic-circ-test.c:170-233).
+CASE1_MOLECULES = (MoleculeId.H2O, MoleculeId.CO2, MoleculeId.O3,
+                   MoleculeId.N2O, MoleculeId.CO, MoleculeId.CH4,
+                   MoleculeId.O2)
+CASE1_CFCS = (CfcId.CFC11, CfcId.CFC12, CfcId.CCl4)
+
+
+def case1_atmosphere(clean: bool = True, clear: bool = True) -> Atmosphere:
+    """Build the embedded CIRC case-1 atmosphere (basic-circ-test.c:71-272).
+
+    Per-layer abundances interpolate to levels in pressure space
+    (basic-circ-test.c:50-64); the spectral surface albedo and TOA solar
+    function come on the case's native 49 180-point grid.
+    """
+    d = np.load(DATA)
+    lp = d["layer_pressure"][None, :]
+    pl = d["level_pressure"][None, :]
+
+    def to_ppmv(name):
+        return pressure_interp_layers_to_levels(
+            d[name][None, :], lp, pl) * 1e6
+
+    ppmv = {int(m): to_ppmv(f"{m.name}_abundance") for m in CASE1_MOLECULES}
+    cfc_names = {CfcId.CFC11: "CFC11", CfcId.CFC12: "CFC12",
+                 CfcId.CCl4: "CCl4"}
+    cfc_ppmv = {int(c): to_ppmv(f"{cfc_names[c]}_abundance")
+                for c in CASE1_CFCS}
+    # CIA uses the O2 and (implied well-mixed) N2 abundances
+    # (circ.c:321-332: N2-N2, O2-N2, O2-O2 with N2 = 0.781).
+    n2 = np.full_like(pl, 0.781e6)
+    cia_ppmv = {int(CiaId.N2): n2,
+                int(CiaId.O2): ppmv[int(MoleculeId.O2)]}
+
+    return Atmosphere(
+        level_pressure=pl,
+        level_temperature=d["level_temperature"][None, :],
+        layer_temperature=d["layer_temperature"][None, :],
+        surface_temperature=[float(d["surface_temperature"])],
+        ppmv=ppmv, cfc_ppmv=cfc_ppmv, cia_ppmv=cia_ppmv,
+        # Emissivity == 1 everywhere (circ.c:71 callback; emissivity array
+        # defaults to ones).
+        cos_zenith=[np.cos(np.deg2rad(float(d["solar_zenith_angle"])))],
+        # The case datum is the *horizontal* TOA irradiance; the solver's
+        # TSI is that divided by cos(sza) (basic-circ-test.c:118-124).
+        total_solar_irradiance=[
+            float(d["toa_solar_irradiance"])
+            / np.cos(np.deg2rad(float(d["solar_zenith_angle"])))],
+        albedo_grid=d["wavenumber"],
+        albedo=d["surface_albedo"][None, :],
+        aerosol_optical_depth_1um=d["aerosol_optical_depth_at_1_micron"][None, :],
+        aerosol_angstrom_exponent=float(d["angstrom_exponent_value"]),
+        aerosol_single_scatter_albedo=d["aerosol_single_scatter_albedo"][None, :],
+        aerosol_asymmetry_factor=d["aerosol_asymmetry_factor"][None, :],
+        cloud_fraction=d["cloud_fraction"][None, :],
+        liquid_water_content=d["liquid_water_path"][None, :],  # -> content/dz by driver app
+        ice_water_content=d["ice_water_path"][None, :],
+        clean=clean, clear=clear,
+    )
+
+
+def case1_solar_flux(grid: SpectralGrid) -> SolarFlux:
+    """Normalized incident solar spectrum from the embedded TOA solar
+    function (basic-circ-test.c uses toa_solar_function with the case TSI)."""
+    d = np.load(DATA)
+    return SolarFlux.from_samples(d["wavenumber"], d["toa_solar_function"],
+                                  grid)
+
+
+def build_driver(hitran_path: str | None = None,
+                 lw_grid: SpectralGrid | None = None,
+                 sw_grid: SpectralGrid | None = None,
+                 h2o_ctm_dir: str | None = None,
+                 o3_ctm_file: str | None = None,
+                 cfc_dir: str | None = None,
+                 **gas_kwargs) -> RadiationDriver:
+    """CIRC driver with the default grids (driver.c:912-921: LW 1-3250 at
+    0.1 cm-1, SW 1-50000 at 1.0 cm-1).  With a HITRAN .par path the full
+    case gas set is registered; without one the gas optics start empty
+    (add synthetic catalogs for testing)."""
+    lw_grid = lw_grid or SpectralGrid(1.0, 3250.0, 0.1)
+    sw_grid = sw_grid or SpectralGrid(1.0, 50000.0, 1.0)
+    lw_gas = GasOptics(lw_grid, hitran_path=hitran_path, **gas_kwargs)
+    sw_gas = GasOptics(sw_grid, hitran_path=hitran_path, **gas_kwargs)
+    if hitran_path:
+        for m in CASE1_MOLECULES:
+            lw_gas.add_molecule(m)
+            sw_gas.add_molecule(m)
+    solar = case1_solar_flux(sw_grid)
+    return RadiationDriver(lw_gas=lw_gas, sw_gas=sw_gas, solar=solar)

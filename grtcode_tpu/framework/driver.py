@@ -1,0 +1,259 @@
+"""The shared radiation driver: batched sky-tier flux computation.
+
+TPU re-design of driver()/column_calculation (framework/src/driver.c:360-713):
+the serial per-(time, column) loop becomes one jitted batched computation.
+Sky tiers mirror the reference:
+
+  CSAF  clear-sky aerosol-free: gas + Rayleigh          (driver.c:380-424)
+  CS    clear-sky with aerosols                         (driver.c:426-473)
+  AF    all-sky aerosol-free: + stochastic clouds       (driver.c:475-599)
+
+The LW pass always runs; the SW pass only contributes where cos(zenith) > 0
+(driver.c:706).  Gas optical depth per band is computed once and shared by
+every tier (as in column_calculation, where optics_gas is reused).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import constants
+from ..gas_optics.gas_optics import GasOptics
+from ..optics import Optics, combine
+from ..solvers.longwave import longwave_fluxes
+from ..solvers.rayleigh import rayleigh_tau
+from ..solvers.shortwave import shortwave_fluxes
+from ..solvers.solar_flux import SolarFlux
+from ..utils import curtis_godson as cg
+from ..utils.interp import interpolate_to_grid_np, trapezoid_uniform
+from .atmosphere import Atmosphere
+
+DIFFUSE_MU = 0.5  # cosine_diffuse_angle (driver.c:109)
+
+
+@dataclasses.dataclass
+class FluxResults:
+    """Per-tier fluxes: {"csaf"|"cs"|"af" -> {"rlu"|"rld"|"rsu"|"rsd" ->
+    (B, nlevels) integrated [W m-2] or (B, nlevels, nw) spectral}}."""
+
+    tiers: dict
+    integrated: bool
+
+    _TIER_SUFFIX = {"CSAF": "csaf", "CS": "cs", "AF": "af", "": "all"}
+
+    def variable(self, name: str) -> np.ndarray:
+        """Extract a reference-named variable (driver.h:17-92), e.g.
+        RLUTCSAF -> TOA upwelling LW clear-sky aerosol-free, shape (B,)."""
+        m = name.upper()
+        band = {"L": "l", "S": "s"}[m[1]]
+        direction = {"U": "u", "D": "d"}[m[2]]
+        rest = m[3:]
+        level = None
+        if rest.startswith("T"):
+            level, rest = 0, rest[1:]
+        elif rest.startswith("S") and rest not in ("CS", "CSAF"):
+            level, rest = -1, rest[1:]
+        tier = self._TIER_SUFFIX[rest]
+        data = self.tiers[tier][f"r{band}{direction}"]
+        return np.asarray(data[:, level] if level is not None else data)
+
+
+@dataclasses.dataclass
+class RadiationDriver:
+    """Holds the per-band gas optics + solar spectrum and runs sky tiers.
+
+    cloud_optics: optional callable implementing the all-sky tier's band
+    cloud optics (clouds/clouds_lib.c:80-150 equivalent); signature
+    ``(cloud_args: dict, grid) -> (Optics_liquid, Optics_ice)`` operating on
+    batched arrays.
+    """
+
+    lw_gas: GasOptics
+    sw_gas: GasOptics | None = None
+    solar: SolarFlux | None = None
+    cloud_optics: Callable | None = None
+
+    # -- host-side spectral surface prep (atmospheric_column,
+    #    driver.c:100-115: linear interp, constant extrapolation) ----------
+    def _surface_spectra(self, atm: Atmosphere):
+        B = atm.batch
+        nw_lw = self.lw_gas.grid.n
+        if atm.emissivity is not None:
+            emis = np.stack([
+                interpolate_to_grid_np(self.lw_gas.grid, atm.emissivity_grid,
+                                       atm.emissivity[b],
+                                       extrapolate="constant")
+                for b in range(B)])
+        else:
+            emis = np.ones((B, nw_lw))
+        albedo = None
+        if self.sw_gas is not None:
+            nw_sw = self.sw_gas.grid.n
+            if atm.albedo is not None:
+                albedo = np.stack([
+                    interpolate_to_grid_np(self.sw_gas.grid, atm.albedo_grid,
+                                           atm.albedo[b],
+                                           extrapolate="constant")
+                    for b in range(B)])
+            else:
+                albedo = np.zeros((B, nw_sw))
+        return emis, albedo
+
+    def run(self, atm: Atmosphere, integrated: bool = True) -> FluxResults:
+        """Compute all applicable sky tiers for the batch."""
+        emis_np, albedo_np = self._surface_spectra(atm)
+        f32 = jnp.float32
+
+        dev = {
+            "p_lev": jnp.asarray(atm.level_pressure, f32),
+            "t_lev": jnp.asarray(atm.level_temperature, f32),
+            "t_lay": jnp.asarray(atm.layer_temperature, f32),
+            "t_surf": jnp.asarray(atm.surface_temperature, f32),
+            "emis": jnp.asarray(emis_np, f32),
+            "vmr": {k: jnp.asarray(np.asarray(v, np.float64) * 1e-6, f32)
+                    for k, v in atm.ppmv.items()},
+            "cfc_vmr": {k: jnp.asarray(np.asarray(v, np.float64) * 1e-6, f32)
+                        for k, v in atm.cfc_ppmv.items()},
+            "cia_vmr": {k: jnp.asarray(np.asarray(v, np.float64) * 1e-6, f32)
+                        for k, v in atm.cia_ppmv.items()},
+        }
+        if self.sw_gas is not None:
+            dev.update({
+                "mu": jnp.asarray(
+                    atm.cos_zenith if atm.cos_zenith is not None
+                    else -np.ones(atm.batch), f32),
+                "tsi": jnp.asarray(
+                    atm.total_solar_irradiance
+                    if atm.total_solar_irradiance is not None
+                    else np.zeros(atm.batch), f32),
+                "albedo": jnp.asarray(albedo_np, f32),
+            })
+        if not atm.clean:
+            dev.update({
+                "aero_tau1um": jnp.asarray(
+                    atm.aerosol_optical_depth_1um, f32),
+                "aero_alpha": jnp.asarray(
+                    np.broadcast_to(
+                        np.asarray(atm.aerosol_angstrom_exponent,
+                                   np.float64), (atm.batch,)), f32),
+                "aero_omega": jnp.asarray(
+                    atm.aerosol_single_scatter_albedo, f32),
+                "aero_g": jnp.asarray(atm.aerosol_asymmetry_factor, f32),
+            })
+        cloud_args = None
+        if not atm.clear:
+            if self.cloud_optics is None:
+                raise ValueError("cloudy atmosphere but no cloud_optics")
+            cloud_args = {
+                "cloud_fraction": jnp.asarray(atm.cloud_fraction, f32),
+                "liquid_water_content": jnp.asarray(
+                    atm.liquid_water_content, f32),
+                "ice_water_content": jnp.asarray(atm.ice_water_content, f32),
+                "layer_thickness": jnp.asarray(atm.layer_thickness, f32),
+                "layer_pressure": jnp.asarray(
+                    0.5 * (atm.level_pressure[:, :-1]
+                           + atm.level_pressure[:, 1:]), f32),
+                "t_lay": jnp.asarray(atm.layer_temperature, f32),
+            }
+
+        out = self._step(atm.clean, atm.clear, integrated)(dev, cloud_args)
+        return FluxResults(tiers=jax.tree.map(np.asarray, out),
+                           integrated=integrated)
+
+    # -- the jitted batched computation ------------------------------------
+    def _step(self, clean: bool, clear: bool, integrated: bool):
+        lwg = self.lw_gas.grid
+        swg = self.sw_gas.grid if self.sw_gas is not None else None
+        w_lw = lwg.wavenumbers()
+        w_sw = swg.wavenumbers() if swg is not None else None
+        sol = self.solar.incident_flux if self.solar is not None else None
+
+        def reduce(fx, dw):
+            return trapezoid_uniform(fx, dw) if integrated else fx
+
+        def lw_tier(optics, col):
+            flu, fld = longwave_fluxes(optics.tau, optics.omega,
+                                       col["t_surf"], col["t_lay"],
+                                       col["t_lev"], col["emis"], w_lw)
+            return reduce(flu, lwg.dw), reduce(fld, lwg.dw)
+
+        def sw_tier(optics, col):
+            mu = jnp.maximum(col["mu"], 1e-6)
+            fsu, fsd = shortwave_fluxes(
+                optics.tau, optics.omega, optics.g, mu,
+                jnp.full_like(mu, DIFFUSE_MU), col["albedo"], col["albedo"],
+                col["tsi"], sol)
+            day = (col["mu"] > 0.0).astype(jnp.float32)[:, None]
+            shp = day if integrated else day[..., None]
+            return reduce(fsu, swg.dw) * shp, reduce(fsd, swg.dw) * shp
+
+        def aerosol_optics(col, grid, w):
+            """Angstrom-exponent spectral aerosol optical depth
+            (tau(lambda) = tau_1um * lambda_um^-alpha, utilities.c:45-74)."""
+            lam_um = 1e4 / w                                 # (nw,)
+            tau = col["aero_tau1um"][:, :, None] * \
+                lam_um[None, None, :] ** (-col["aero_alpha"][:, None, None])
+            omega = jnp.broadcast_to(col["aero_omega"][:, :, None], tau.shape)
+            g = jnp.broadcast_to(col["aero_g"][:, :, None], tau.shape)
+            return Optics(tau, omega, g, grid=grid)
+
+        def compute(col, cloud_args):
+            vmap_od = jax.vmap(
+                lambda p, t, v, cv, iv: self.lw_gas.optical_depth(
+                    p, t, v, cfc_vmr=cv, cia_vmr=iv))
+            tau_lw = vmap_od(col["p_lev"], col["t_lev"], col["vmr"],
+                             col["cfc_vmr"], col["cia_vmr"])
+            gas_lw = Optics.from_tau(tau_lw, grid=lwg)
+
+            if swg is not None:
+                sw_vmr = {k: v for k, v in col["vmr"].items()
+                          if k in self.sw_gas.molecules}
+                tau_sw = jax.vmap(
+                    lambda p, t, v: self.sw_gas.optical_depth(p, t, v))(
+                    col["p_lev"], col["t_lev"], sw_vmr)
+                p_atm = col["p_lev"] * constants.MB_TO_ATM
+                ray = rayleigh_tau(cg.number_densities(p_atm), w_sw)
+                gasray_sw = combine([
+                    Optics.from_tau(tau_sw, grid=swg),
+                    Optics(ray, jnp.ones_like(ray), jnp.zeros_like(ray),
+                           grid=swg)])
+
+            tiers = {}
+
+            def both(opt_lw, opt_sw, c):
+                rlu, rld = lw_tier(opt_lw, c)
+                if swg is not None:
+                    rsu, rsd = sw_tier(opt_sw, c)
+                else:
+                    z = jnp.zeros_like(rlu)
+                    rsu = rsd = z
+                return {"rlu": rlu, "rld": rld, "rsu": rsu, "rsd": rsd}
+
+            tiers["csaf"] = both(gas_lw, gasray_sw if swg is not None
+                                 else None, col)
+
+            if not clean:
+                aero_lw = aerosol_optics(col, lwg, w_lw)
+                opt_lw = combine([gas_lw, aero_lw])
+                opt_sw = None
+                if swg is not None:
+                    aero_sw = aerosol_optics(col, swg, w_sw)
+                    opt_sw = combine([gasray_sw, aero_sw])
+                tiers["cs"] = both(opt_lw, opt_sw, col)
+
+            if not clear:
+                liq_lw, ice_lw, liq_sw, ice_sw = self.cloud_optics(
+                    cloud_args, lwg, swg)
+                opt_lw = combine([gas_lw, liq_lw, ice_lw])
+                opt_sw = None
+                if swg is not None:
+                    opt_sw = combine([gasray_sw, liq_sw, ice_sw])
+                tiers["af"] = both(opt_lw, opt_sw, col)
+
+            return tiers
+
+        return jax.jit(compute)

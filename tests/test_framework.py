@@ -1,0 +1,102 @@
+"""Framework driver + CIRC case-1 wiring.
+
+Without HITRAN line data only structural/energy-conservation parity is
+testable; the strongest data-free golden is RSDTCSAF: the TOA downward SW
+flux must equal the case's horizontal TOA irradiance (912.79 W m-2,
+basic-circ-test.c:468-470) independent of gas optics.
+"""
+import numpy as np
+import pytest
+
+from grtcode_tpu.apps import circ
+from grtcode_tpu.framework import Atmosphere, RadiationDriver
+from grtcode_tpu.gas_optics.gas_optics import GasOptics
+from grtcode_tpu.gas_optics.hitran import synthetic_catalog
+from grtcode_tpu.spectral import SpectralGrid
+
+SIGMA = 5.670374419e-8
+
+
+@pytest.fixture(scope="module")
+def atm():
+    return circ.case1_atmosphere(clean=False, clear=True)
+
+
+@pytest.fixture(scope="module")
+def driver():
+    # Coarse grids for test speed; same structure as the production
+    # 0.1 / 1.0 cm-1 configuration (driver.c:912-921).
+    lw_grid = SpectralGrid(1.0, 3250.0, 1.0)
+    sw_grid = SpectralGrid(1.0, 50000.0, 10.0)
+    d = circ.build_driver(lw_grid=lw_grid, sw_grid=sw_grid, line_chunk=64)
+    rng = np.random.default_rng(0)
+    L = 200
+    vnn = np.sort(rng.uniform(100.0, 3000.0, L))
+    d.lw_gas.add_catalog(synthetic_catalog(
+        1, vnn, rng.uniform(1e-22, 1e-19, L),
+        yair=rng.uniform(0.02, 0.1, L), yself=rng.uniform(0.05, 0.4, L),
+        en=rng.uniform(0.0, 2000.0, L), n=rng.uniform(0.4, 0.8, L),
+        d=np.zeros(L)))
+    return d
+
+
+@pytest.fixture(scope="module")
+def results(driver, atm):
+    return driver.run(atm, integrated=True)
+
+
+def test_case1_atmosphere_shapes(atm):
+    assert atm.batch == 1 and atm.num_levels == 55 and atm.num_layers == 54
+    assert set(atm.ppmv) == {1, 2, 3, 4, 5, 6, 7}
+    assert len(atm.cfc_ppmv) == 3 and len(atm.cia_ppmv) == 2
+    # H2O ppmv surface value ~ layer value * 1e6 (abundance is mole frac).
+    assert 1e2 < atm.ppmv[1][0, -1] < 1e5
+
+
+def test_rsdt_equals_toa_irradiance_golden(results):
+    """RSDTCSAF == 912.79 W m-2 (basic-circ-test.c:468-470)."""
+    got = float(results.variable("RSDTCSAF")[0])
+    assert abs(got - 912.79) / 912.79 < 0.01, got
+
+
+def test_lw_fluxes_physical(results, atm):
+    olr = float(results.variable("RLUTCSAF")[0])
+    sfc_up = float(results.variable("RLUSCSAF")[0])
+    ts = float(atm.surface_temperature[0])
+    # Emissivity 1, band-limited: surface upwelling below sigma*Ts^4 but
+    # within the 1-3250 cm-1 band fraction (~99%); OLR below surface up.
+    assert 0.9 * SIGMA * ts ** 4 < sfc_up <= SIGMA * ts ** 4
+    assert 0.0 < olr < sfc_up
+
+
+def test_sw_energy_conservation(results):
+    rsdt = float(results.variable("RSDTCSAF")[0])
+    rsut = float(results.variable("RSUTCSAF")[0])
+    rsds = float(results.variable("RSDSCSAF")[0])
+    rsus = float(results.variable("RSUSCSAF")[0])
+    assert 0.0 < rsut < rsdt
+    assert 0.0 < rsus < rsds < rsdt
+    # Absorbed = net in at TOA - net in at surface >= 0.
+    assert (rsdt - rsut) - (rsds - rsus) >= -1e-3
+
+
+def test_aerosol_tier_differs(results):
+    """CS (with aerosol) must differ from CSAF in the SW; the reference
+    cannot produce this (its aerosol body is commented out,
+    driver.c:224-239)."""
+    assert "cs" in results.tiers
+    rsds_csaf = float(results.variable("RSDSCSAF")[0])
+    rsds_cs = float(results.variable("RSDSCS")[0])
+    assert rsds_cs < rsds_csaf  # aerosols attenuate the direct beam
+    # LW nearly unchanged (aerosol tau tiny at LW wavelengths with
+    # alpha=1.48 power law).
+    rlut_csaf = float(results.variable("RLUTCSAF")[0])
+    rlut_cs = float(results.variable("RLUTCS")[0])
+    assert abs(rlut_cs - rlut_csaf) / rlut_csaf < 0.05
+
+
+def test_spectral_output_mode(driver, atm):
+    res = driver.run(atm, integrated=False)
+    rlu = res.tiers["csaf"]["rlu"]
+    assert rlu.shape == (1, 55, driver.lw_gas.grid.n)
+    assert np.isfinite(rlu).all()

@@ -86,10 +86,20 @@ def case1_atmosphere(clean: bool = True, clear: bool = True) -> Atmosphere:
         aerosol_single_scatter_albedo=d["aerosol_single_scatter_albedo"][None, :],
         aerosol_asymmetry_factor=d["aerosol_asymmetry_factor"][None, :],
         cloud_fraction=d["cloud_fraction"][None, :],
-        liquid_water_content=d["liquid_water_path"][None, :],  # -> content/dz by driver app
-        ice_water_content=d["ice_water_path"][None, :],
+        # LWP/IWP [g m-2] -> content [g m-3] via the layer thickness from
+        # the case's level heights (circ.c builds cloud content the same
+        # way from lwp and layer depth).
+        liquid_water_content=(d["liquid_water_path"] / _thickness_m(d))[None, :],
+        ice_water_content=(d["ice_water_path"] / _thickness_m(d))[None, :],
+        layer_thickness=_thickness_m(d)[None, :],
         clean=clean, clear=clear,
     )
+
+
+def _thickness_m(d) -> np.ndarray:
+    """Layer geometric thickness [m] from level heights [km]."""
+    z = d["height_above_sea_level"] * 1000.0
+    return np.abs(z[:-1] - z[1:])
 
 
 def case1_solar_flux(grid: SpectralGrid) -> SolarFlux:

@@ -76,6 +76,8 @@ class RadiationDriver:
     sw_gas: GasOptics | None = None
     solar: SolarFlux | None = None
     cloud_optics: Callable | None = None
+    num_subcolumns: int = 1   # driver.c:503 (reference uses 1)
+    cloud_seed: int = 0
 
     # -- host-side spectral surface prep (atmospheric_column,
     #    driver.c:100-115: linear interp, constant extrapolation) ----------
@@ -246,13 +248,27 @@ class RadiationDriver:
                 tiers["cs"] = both(opt_lw, opt_sw, col)
 
             if not clear:
-                liq_lw, ice_lw, liq_sw, ice_sw = self.cloud_optics(
-                    cloud_args, lwg, swg)
-                opt_lw = combine([gas_lw, liq_lw, ice_lw])
-                opt_sw = None
-                if swg is not None:
-                    opt_sw = combine([gasray_sw, liq_sw, ice_sw])
-                tiers["af"] = both(opt_lw, opt_sw, col)
+                # All-sky aerosol-free: per-subcolumn stochastic cloud
+                # optics, fluxes averaged over subcolumns
+                # (driver.c:503-574).
+                def one_subcolumn(key):
+                    liq_lw, ice_lw, liq_sw, ice_sw = self.cloud_optics(
+                        cloud_args, key, lwg, swg)
+                    opt_lw = combine([gas_lw, liq_lw, ice_lw])
+                    opt_sw = None
+                    if swg is not None:
+                        opt_sw = combine([gasray_sw, liq_sw, ice_sw])
+                    return both(opt_lw, opt_sw, col)
+
+                keys = jax.random.split(
+                    jax.random.PRNGKey(self.cloud_seed),
+                    self.num_subcolumns)
+                if self.num_subcolumns == 1:
+                    tiers["af"] = one_subcolumn(keys[0])
+                else:
+                    subs = jax.lax.map(one_subcolumn, keys)
+                    tiers["af"] = jax.tree.map(
+                        lambda a: a.mean(axis=0), subs)
 
             return tiers
 

@@ -131,3 +131,52 @@ def build_driver(hitran_path: str | None = None,
             sw_gas.add_molecule(m)
     solar = case1_solar_flux(sw_grid)
     return RadiationDriver(lw_gas=lw_gas, sw_gas=sw_gas, solar=solar)
+
+
+def main(argv=None):
+    """basic-circ-test equivalent: run embedded case 1 and print the
+    integrated fluxes next to the LBLRTM / CIRC-mean references
+    (basic-circ-test.c:444-501)."""
+    from ..framework import cli
+
+    p = cli.shared_parser("CIRC case benchmark (embedded case 1).")
+    cli.add_gas_flags(p, [m.name for m in CASE1_MOLECULES],
+                      cfcs=["CFC-11", "CFC-12", "CCl4"],
+                      cias=["N2-N2", "O2-N2", "O2-O2"])
+    p.add_argument("-clouds", action="store_true",
+                   help="Enable the all-sky tier (needs -liquid-path/"
+                        "-ice-path Pade files).")
+    args = p.parse_args(argv)
+    cli.configure(args)
+
+    lw_grid, sw_grid = cli.grids_from_args(args)
+    atm = case1_atmosphere(clean=True, clear=not args.clouds)
+    hitran = None if args.hitran_file in ("none", "-") else args.hitran_file
+    driver = build_driver(hitran_path=hitran, lw_grid=lw_grid,
+                          sw_grid=sw_grid, wcutoff=args.line_cutoff)
+    if args.h2o_ctm and hitran:
+        from ..gas_optics.continua import WaterVaporContinuum
+        driver.lw_gas.h2o_ctm = WaterVaporContinuum.from_directory(
+            args.h2o_ctm, lw_grid)
+    if args.o3_ctm and hitran:
+        from ..gas_optics.continua import OzoneContinuum
+        driver.lw_gas.o3_ctm = OzoneContinuum.from_file(args.o3_ctm, lw_grid)
+    if args.clouds:
+        from ..clouds import CloudOpticsLib, PadeCloudOptics
+        driver.cloud_optics = CloudOpticsLib(
+            liquid=PadeCloudOptics.from_netcdf(args.liquid_path),
+            ice=PadeCloudOptics.from_netcdf(args.ice_path)).driver_callback()
+
+    res = driver.run(atm, integrated=True)
+    print(f"{'Variable':<12}{'GRTCODE-TPU':>14}{'LBLRTM':>10}{'CIRC mean':>11}")
+    for name, refs in CASE1_REFERENCE.items():
+        got = float(res.variable(name)[0])
+        lbl = refs["lblrtm"]
+        mean = refs["circ_mean"]
+        print(f"{name:<12}{got:>14.4f}{lbl:>10.2f}"
+              f"{mean if mean is not None else '':>11}")
+    return res
+
+
+if __name__ == "__main__":
+    main()

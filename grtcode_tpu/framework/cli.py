@@ -1,0 +1,79 @@
+"""Shared command-line interface for the front-end applications.
+
+Mirrors the reference's shared flag set (framework/src/driver.c:872-935)
+plus per-app flags; built on stdlib argparse instead of the bespoke
+linked-list parser (utilities/src/argparse.c) — same surface, standard
+tooling.
+"""
+from __future__ import annotations
+
+import argparse
+import logging
+
+from ..spectral import SpectralGrid
+
+log = logging.getLogger("grtcode_tpu")
+
+
+def shared_parser(description: str) -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=description)
+    p.add_argument("hitran_file", help="HITRAN database file (.par).")
+    p.add_argument("solar_flux", help="Solar flux CSV file.")
+    p.add_argument("-beta-path", dest="beta_path",
+                   help="(accepted for parity; the TPU build computes the "
+                        "incomplete beta analytically)")
+    p.add_argument("-c", "--line-cutoff", type=float, default=25.0,
+                   help="Cutoff [1/cm] from line center.")
+    p.add_argument("-d", "--device", type=int, default=None,
+                   help="Device index (jax.devices() ordinal).")
+    p.add_argument("-flux-at-level", dest="flux_at_level", type=int,
+                   default=None, help="Interior level to output fluxes at.")
+    p.add_argument("-ice-path", dest="ice_path",
+                   help="Ice cloud Pade parameterization netCDF.")
+    p.add_argument("-integrated", action="store_true",
+                   help="Output integrated instead of spectral fluxes.")
+    p.add_argument("-liquid-path", dest="liquid_path",
+                   help="Liquid cloud Pade parameterization netCDF.")
+    p.add_argument("-o", dest="output", default="output.nc",
+                   help="Name of output file.")
+    p.add_argument("-r-lw", dest="r_lw", type=float, default=0.1)
+    p.add_argument("-r-sw", dest="r_sw", type=float, default=1.0)
+    p.add_argument("-w-lw", dest="w_lw", type=float, default=1.0)
+    p.add_argument("-w-sw", dest="w_sw", type=float, default=1.0)
+    p.add_argument("-W-lw", dest="W_lw", type=float, default=3250.0)
+    p.add_argument("-W-sw", dest="W_sw", type=float, default=50000.0)
+    p.add_argument("-h2o-ctm", dest="h2o_ctm",
+                   help="MT-CKD water-vapor continuum directory.")
+    p.add_argument("-o3-ctm", dest="o3_ctm",
+                   help="Ozone continuum CSV file.")
+    p.add_argument("-v", "--verbose", action="store_true")
+    return p
+
+
+def grids_from_args(args) -> tuple[SpectralGrid, SpectralGrid]:
+    return (SpectralGrid(args.w_lw, args.W_lw, args.r_lw),
+            SpectralGrid(args.w_sw, args.W_sw, args.r_sw))
+
+
+def configure(args) -> None:
+    logging.basicConfig(
+        level=logging.INFO if args.verbose else logging.WARNING,
+        format="%(levelname)s %(name)s: %(message)s")
+    if args.device is not None:
+        import jax
+        jax.config.update("jax_default_device",
+                          jax.devices()[args.device])
+
+
+def add_gas_flags(p: argparse.ArgumentParser, molecules, cfcs=(), cias=()):
+    for name in molecules:
+        p.add_argument(f"-{name}", action="store_true",
+                       help=f"Include {name}.")
+    for name in cfcs:
+        p.add_argument(f"-{name}", dest=name.replace("-", "_"),
+                       nargs="?", const=True, default=False,
+                       help=f"Include {name} (cross-section CSV path).")
+    for name in cias:
+        p.add_argument(f"-{name}", dest=name.replace("-", "_"),
+                       nargs="?", const=True, default=False,
+                       help=f"Include {name} collision-induced absorption.")

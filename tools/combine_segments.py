@@ -1,0 +1,52 @@
+"""Merge per-segment ERA5 flux files along the lon dimension.
+
+TPU-native replacement for the reference's post-hoc combiners
+(era5/test/combine-segments.py:8-36, extra-tools/grtcode-results-combiner.c):
+each shard writes its lon slice with `lon_start/lon_stop/lon_global_size`
+global attributes (era5.c:156-159) and this tool assembles the global
+domain.  In multi-host mesh runs the sharded writer makes this
+unnecessary; it exists for parity with the segment workflow.
+
+Usage: python tools/combine_segments.py out.nc seg1.nc seg2.nc ...
+"""
+from __future__ import annotations
+
+import sys
+
+import h5py
+import numpy as np
+
+
+def combine(segment_paths, out_path):
+    segs = []
+    for p in segment_paths:
+        with h5py.File(p, "r") as f:
+            segs.append({
+                "lon_start": int(f.attrs["lon_start"]),
+                "lon_stop": int(f.attrs["lon_stop"]),
+                "lon_global_size": int(f.attrs["lon_global_size"]),
+                "vars": {k: np.asarray(f[k]) for k in f
+                         if k not in ("time", "lat", "lon", "level")},
+            })
+    nglobal = segs[0]["lon_global_size"]
+    seen = np.zeros(nglobal, bool)
+    with h5py.File(out_path, "w") as out:
+        for name in segs[0]["vars"]:
+            sample = segs[0]["vars"][name]
+            shape = list(sample.shape)
+            shape[2] = nglobal
+            data = np.zeros(shape, sample.dtype)
+            for s in segs:
+                data[:, :, s["lon_start"]:s["lon_stop"] + 1] = \
+                    s["vars"][name]
+            out.create_dataset(name, data=data)
+        for s in segs:
+            seen[s["lon_start"]:s["lon_stop"] + 1] = True
+        if not seen.all():
+            missing = np.where(~seen)[0]
+            raise ValueError(f"missing lon indices: {missing.tolist()}")
+
+
+if __name__ == "__main__":
+    combine(sys.argv[2:], sys.argv[1])
+    print(f"wrote {sys.argv[1]}")

@@ -28,7 +28,8 @@ from . import tips as tips_mod
 from .continua import OzoneContinuum, WaterVaporContinuum
 from .hitran import LineCatalog, parse_par_file
 from .molecules import MoleculeId
-from .optical_depth import accumulate_tiled, optical_depth_line_sample
+from .optical_depth import (accumulate_line_sample, accumulate_tiled,
+                            optical_depth_line_sample)
 from .xsec import CrossSectionTable, cfc_optical_depth, cia_optical_depth
 
 
@@ -48,6 +49,7 @@ class GasOptics:
     tile_lchunk: int = 128     # lines per tiled reduction step
     molecules: dict = dataclasses.field(default_factory=dict)  # id -> GridLines
     tiles: dict = dataclasses.field(default_factory=dict)      # id -> LineTiles
+    near_steps: dict = dataclasses.field(default_factory=dict)  # id -> int
     cfcs: dict = dataclasses.field(default_factory=dict)       # id -> table
     cias: list = dataclasses.field(default_factory=list)       # (id1, id2, table)
 
@@ -90,6 +92,8 @@ class GasOptics:
         self.tiles[catalog.mol_id] = lines_mod.build_tiles(
             padded, self.grid.n, fsteps, tile=self.tile,
             lane_multiple=self.tile_lchunk)
+        self.near_steps[catalog.mol_id] = min(
+            lines_mod.near_core_halfwidth(padded, self.grid.dw), fsteps)
 
     def add_cfc(self, cfc_id, path: str):
         table = CrossSectionTable.from_file(int(cfc_id), path, self.grid)
@@ -149,6 +153,12 @@ class GasOptics:
                                      tips=self.tips)
             if self.method == "tiled":
                 tiles = self.tiles[mol_id]
+                near = self.near_steps[mol_id]
+                # Split accumulation: cheap far-wing tiled pass (regions
+                # 0/1 Voigt) + a small-window near-core scatter pass with
+                # the full region evaluation.  Exact: the passes partition
+                # the window at |grid offset| == near, chosen so the far
+                # side always satisfies |x| >= 12.81.
                 # NOTE: block_start must be a multiple of self.tile.
                 tau = accumulate_tiled(
                     prep.center_idx, prep.center_frac, prep.strength,
@@ -157,6 +167,13 @@ class GasOptics:
                     num_wpoints=nw, dw=float(self.grid.dw),
                     fsteps=tiles.fsteps, tile=tiles.tile,
                     lchunk=self.tile_lchunk, tau0=tau, start=start,
+                    num_global=self.grid.n, exclude_within=near,
+                    far_kernel=True)
+                tau = accumulate_line_sample(
+                    prep.center_idx, prep.center_frac, prep.strength,
+                    prep.lorentz, prep.doppler, ns,
+                    num_wpoints=nw, dw=float(self.grid.dw), fsteps=near,
+                    chunk=self.line_chunk, tau0=tau, start=start,
                     num_global=self.grid.n)
             else:
                 tau = optical_depth_line_sample(

@@ -126,6 +126,27 @@ class LineTiles:
         return int(self.tile_lines.shape[1])
 
 
+_X_FAR_SAFE = 13.0  # > sqrt(164): beyond every region-1 lower bound
+
+
+def near_core_halfwidth(lines: GridLines, dw: float,
+                        tmax: float = 500.0) -> int:
+    """Half-width [grid points] of the near-core window outside which the
+    cheap far-wing Voigt (regions 0/1) is exact for every line and layer.
+
+    |x| = |dv| / (vnn sqrt(2 k T / m c^2)) >= 13 for all T <= tmax
+    whenever |dv| >= 13 * vmax * sqrt(2 k tmax / m c^2); tmax = 500 K is
+    the reference's physical-range guard (grtcode_config.h:70-99).
+    """
+    from .. import constants as c
+    if lines.num_lines == 0:
+        return 1
+    vmax = float(np.max(np.abs(lines.vnn))) + 1.0
+    mc2 = lines.mass_g * c.C_CGS * c.C_CGS
+    dv_near = _X_FAR_SAFE * vmax * np.sqrt(2.0 * c.KB_CGS * tmax / mc2)
+    return max(int(np.ceil(dv_near / dw)) + 1, 1)
+
+
 def build_tiles(lines: GridLines, num_wpoints: int, fsteps: int,
                 tile: int = 512, shift_margin: int = 2,
                 lane_multiple: int = 8) -> LineTiles:

@@ -27,7 +27,7 @@ import jax.numpy as jnp
 from .. import constants
 from .hitran import STRENGTH_SCALE
 from .lines import PreparedLines
-from .voigt import voigt_line_shape
+from .voigt import voigt_far_wing, voigt_line_shape
 
 
 def _round_up(x: int, m: int) -> int:
@@ -112,11 +112,13 @@ def accumulate_line_sample(center_idx, center_frac, strength, lorentz, doppler,
 
 
 @partial(jax.jit, static_argnames=("num_wpoints", "dw", "fsteps", "tile",
-                                   "lchunk", "num_global"))
+                                   "lchunk", "num_global", "exclude_within",
+                                   "far_kernel"))
 def accumulate_tiled(center_idx, center_frac, strength, lorentz, doppler,
                      ns, tile_lines, *, num_wpoints: int, dw: float,
                      fsteps: int, tile: int, lchunk: int = 128, tau0=None,
-                     start=0, num_global: int | None = None):
+                     start=0, num_global: int | None = None,
+                     exclude_within: int = -1, far_kernel: bool = False):
     """Tile-gather Voigt accumulation — the TPU production path.
 
     Inverts the reference's line->grid scatter (kernels.c:410-465 with
@@ -134,6 +136,11 @@ def accumulate_tiled(center_idx, center_frac, strength, lorentz, doppler,
       lchunk: lines per inner reduction step (static; bounds the
         (nlayers, lchunk, tile) temp).
       start: global index of the output block; MUST be tile-aligned.
+      exclude_within: when >= 0, zero contributions with |grid offset| <=
+        this value (the near-core points a separate pass covers).
+      far_kernel: evaluate with :func:`voigt_far_wing` (regions 0/1
+        only) — valid when ``exclude_within`` guarantees |x| >= 12.81
+        for every surviving point.
 
     Returns (nlayers, num_wpoints) optical depth for grid points
     [start, start + num_wpoints).
@@ -176,10 +183,13 @@ def accumulate_tiled(center_idx, center_frac, strength, lorentz, doppler,
             delta = g[None, None, :] - cidx[..., None]  # (nlayers, C, T) int
             dv = (delta.astype(jnp.float32) - cfrac[..., None]) * \
                 jnp.float32(dw)
-            k = voigt_line_shape(dv, lor[..., None], dop[..., None])
+            shape_fn = voigt_far_wing if far_kernel else voigt_line_shape
+            k = shape_fn(dv, lor[..., None], dop[..., None])
             mask = (jnp.abs(delta) <= fsteps) & \
                 (cidx[..., None] >= 0) & (cidx[..., None] < num_global) & \
                 valid[None, :, None]
+            if exclude_within >= 0:
+                mask = mask & (jnp.abs(delta) > exclude_within)
             contrib = jnp.where(mask, s[..., None] * ns_scaled * k, 0.0)
             return acc + contrib.sum(axis=1), None
 

@@ -134,6 +134,36 @@ def humlicek_k(xi, y):
                             jnp.where(abx < xlim3, k3, k4))))
 
 
+def voigt_far_wing(dv, lorentz_hwhm, doppler_hwhm):
+    """Far-wing Voigt: Humlicek regions 0/1 only (plus the pure-Lorentz
+    limit), exact wherever |x| >= sqrt(164) ~ 12.81 — beyond the largest
+    possible region-1 lower bound (RFM_voigt.c:112-116: XLIM1 peaks at
+    y=0), where the full region select can only ever pick region 0 or 1.
+
+    The dense-window accumulators use this for grid points more than a
+    few Doppler widths from every line center (~30 flops/point instead of
+    the ~400 of the all-region evaluation), with the near-core points
+    handled by :func:`voigt_line_shape`.
+    """
+    repwid = constants.SQRT_LN2 / doppler_hwhm
+    y_true = repwid * lorentz_hwhm
+    # Bit-identical to voigt_line_shape: the Humlicek regions see
+    # y clamped to 70, and y >= 70.55 short-circuits to pure Lorentz.
+    y = jnp.minimum(y_true, 70.0)
+    xi = dv * repwid
+    xq = xi * xi
+    yq = y * y
+    xlim0sq = 15100.0 + y * (40.0 - y * 3.6)
+    k0 = y * constants.RSQRPI / (xq + yq)
+    # Region 1 rational (RFM_voigt.c:172-183).
+    a0 = yq + 0.5
+    k1 = (constants.RSQRPI / (a0 * a0 + xq * (yq + yq - 1.0 + xq))) * \
+        y * (a0 + xq)
+    k = constants.RSQRPI * repwid * jnp.where(xq >= xlim0sq, k0, k1)
+    lorentz = repwid * y_true / (_PI * (xq + y_true * y_true))
+    return jnp.where(y_true >= 70.55, lorentz, k)
+
+
 def voigt_line_shape(dv, lorentz_hwhm, doppler_hwhm):
     """Voigt profile K(v - v0) [cm] matching rfm_voigt_line_shape.
 

@@ -28,7 +28,7 @@ from . import tips as tips_mod
 from .continua import OzoneContinuum, WaterVaporContinuum
 from .hitran import LineCatalog, parse_par_file
 from .molecules import MoleculeId
-from .optical_depth import (accumulate_line_sample, accumulate_tiled,
+from .optical_depth import (accumulate_near_pointwise, accumulate_tiled,
                             optical_depth_line_sample)
 from .xsec import CrossSectionTable, cfc_optical_depth, cia_optical_depth
 
@@ -50,6 +50,7 @@ class GasOptics:
     molecules: dict = dataclasses.field(default_factory=dict)  # id -> GridLines
     tiles: dict = dataclasses.field(default_factory=dict)      # id -> LineTiles
     near_steps: dict = dataclasses.field(default_factory=dict)  # id -> int
+    point_ranges: dict = dataclasses.field(default_factory=dict)  # id -> PointRanges
     cfcs: dict = dataclasses.field(default_factory=dict)       # id -> table
     cias: list = dataclasses.field(default_factory=list)       # (id1, id2, table)
 
@@ -92,8 +93,11 @@ class GasOptics:
         self.tiles[catalog.mol_id] = lines_mod.build_tiles(
             padded, self.grid.n, fsteps, tile=self.tile,
             lane_multiple=self.tile_lchunk)
-        self.near_steps[catalog.mol_id] = min(
-            lines_mod.near_core_halfwidth(padded, self.grid.dw), fsteps)
+        near = min(lines_mod.near_core_halfwidth(padded, self.grid.dw),
+                   fsteps)
+        self.near_steps[catalog.mol_id] = near
+        self.point_ranges[catalog.mol_id] = lines_mod.build_point_ranges(
+            padded, self.grid.n, near)
 
     def add_cfc(self, cfc_id, path: str):
         table = CrossSectionTable.from_file(int(cfc_id), path, self.grid)
@@ -169,11 +173,13 @@ class GasOptics:
                     lchunk=self.tile_lchunk, tau0=tau, start=start,
                     num_global=self.grid.n, exclude_within=near,
                     far_kernel=True)
-                tau = accumulate_line_sample(
+                ranges = self.point_ranges[mol_id]
+                tau = accumulate_near_pointwise(
                     prep.center_idx, prep.center_frac, prep.strength,
                     prep.lorentz, prep.doppler, ns,
-                    num_wpoints=nw, dw=float(self.grid.dw), fsteps=near,
-                    chunk=self.line_chunk, tau0=tau, start=start,
+                    jnp.asarray(ranges.lo), jnp.asarray(ranges.hi),
+                    num_wpoints=nw, dw=float(self.grid.dw), near=near,
+                    kpad=ranges.kpad, tau0=tau, start=start,
                     num_global=self.grid.n)
             else:
                 tau = optical_depth_line_sample(

@@ -147,6 +147,38 @@ def near_core_halfwidth(lines: GridLines, dw: float,
     return max(int(np.ceil(dv_near / dw)) + 1, 1)
 
 
+@dataclasses.dataclass
+class PointRanges:
+    """Per-grid-point contiguous line ranges for the near-core pass.
+
+    Sorted line centers mean the lines within +-near of any grid point
+    form a contiguous index range [lo, hi) — so the near-core scatter
+    inverts into a dense gather with a static K-wide reduction per point
+    (no scatter, no per-point index lists).
+    """
+
+    near: int           # half-width [grid points] the ranges cover
+    kpad: int           # max(hi - lo) padded to a lane multiple
+    lo: np.ndarray      # (num_wpoints,) int32
+    hi: np.ndarray      # (num_wpoints,) int32
+
+
+def build_point_ranges(lines: GridLines, num_wpoints: int, near: int,
+                       shift_margin: int = 2,
+                       lane_multiple: int = 8) -> PointRanges:
+    """Contiguous [lo, hi) line ranges per grid point covering centers in
+    [g - near - margin, g + near + margin]."""
+    g = np.arange(num_wpoints)
+    reach = near + shift_margin
+    lo = np.searchsorted(lines.c0, g - reach, side="left")
+    hi = np.searchsorted(lines.c0, g + reach, side="right")
+    kmax = int(np.max(hi - lo)) if num_wpoints else 0
+    kpad = max(-(-max(kmax, 1) // lane_multiple) * lane_multiple,
+               lane_multiple)
+    return PointRanges(near=near, kpad=kpad, lo=lo.astype(np.int32),
+                       hi=hi.astype(np.int32))
+
+
 def build_tiles(lines: GridLines, num_wpoints: int, fsteps: int,
                 tile: int = 512, shift_margin: int = 2,
                 lane_multiple: int = 8) -> LineTiles:

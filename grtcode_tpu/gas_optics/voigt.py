@@ -147,21 +147,30 @@ def voigt_far_wing(dv, lorentz_hwhm, doppler_hwhm):
     """
     repwid = constants.SQRT_LN2 / doppler_hwhm
     y_true = repwid * lorentz_hwhm
-    # Bit-identical to voigt_line_shape: the Humlicek regions see
-    # y clamped to 70, and y >= 70.55 short-circuits to pure Lorentz.
+    # Same region/limit structure as voigt_line_shape (Humlicek regions
+    # see y clamped to 70; y >= 70.55 short-circuits to pure Lorentz), but
+    # all three rationals share ONE division: select numerator and
+    # denominator first.  Per-line factors are hoisted off the point axis.
     y = jnp.minimum(y_true, 70.0)
+    yq = y * y
+    a0 = yq + 0.5
+    d0 = a0 * a0
+    d2 = yq + yq - 1.0
+    xlim0sq = 15100.0 + y * (40.0 - y * 3.6)
+    c_scale = constants.RSQRPI * constants.RSQRPI * repwid  # (RSQRPI^2 = 1/pi)
+    num0 = c_scale * y                         # region 0: y / (pi (xq+yq))
+    lor_num = repwid * y_true / _PI            # Lorentz limit numerator
+    ytq = y_true * y_true
+
     xi = dv * repwid
     xq = xi * xi
-    yq = y * y
-    xlim0sq = 15100.0 + y * (40.0 - y * 3.6)
-    k0 = y * constants.RSQRPI / (xq + yq)
-    # Region 1 rational (RFM_voigt.c:172-183).
-    a0 = yq + 0.5
-    k1 = (constants.RSQRPI / (a0 * a0 + xq * (yq + yq - 1.0 + xq))) * \
-        y * (a0 + xq)
-    k = constants.RSQRPI * repwid * jnp.where(xq >= xlim0sq, k0, k1)
-    lorentz = repwid * y_true / (_PI * (xq + y_true * y_true))
-    return jnp.where(y_true >= 70.55, lorentz, k)
+    num1 = num0 * (a0 + xq)                    # region 1 numerator
+    den1 = d0 + xq * (d2 + xq)
+    reg0 = xq >= xlim0sq
+    lor = y_true >= 70.55
+    num = jnp.where(lor, lor_num, jnp.where(reg0, num0, num1))
+    den = jnp.where(lor, xq + ytq, jnp.where(reg0, xq + yq, den1))
+    return num / den
 
 
 def voigt_line_shape(dv, lorentz_hwhm, doppler_hwhm):

@@ -66,12 +66,13 @@ def main():
 
     @jax.jit
     def step(p_lev, t_lev, t_surf, vmr, emis):
-        def column(p, t, ts, v, e):
-            tau = gas.optical_depth(p, t, {1: v[0], 2: v[1]})
-            t_layers = 0.5 * (t[:-1] + t[1:])
-            return longwave_fluxes(tau, jnp.zeros_like(tau), ts,
-                                   t_layers, t, e, w)
-        return jax.vmap(column)(p_lev, t_lev, t_surf, vmr, emis)
+        # Batched natively: the (B x layer) rows densify one Pallas far-wing
+        # kernel launch per molecule instead of a vmap replay.
+        tau = gas.optical_depth(p_lev, t_lev,
+                                {1: vmr[:, 0], 2: vmr[:, 1]})
+        t_layers = 0.5 * (t_lev[:, :-1] + t_lev[:, 1:])
+        return longwave_fluxes(tau, jnp.zeros_like(tau), t_surf,
+                               t_layers, t_lev, emis, w)
 
     args = (p_lev, t_lev, t_surf, vmr, emis)
     t0 = time.perf_counter()

@@ -8,29 +8,32 @@ registered once (host-side data loading, grid binding); the forward pass
 
 Unlike the reference's mutate-then-launch API (set_molecule_ppmv ...), the
 forward pass takes the full atmospheric state as arguments, so columns batch
-with vmap and shard with pjit.
+with vmap and shard with pjit — and, better, it accepts a leading batch axis
+natively: the (batch, layer) plane flattens into one "rows" axis so the whole
+batch densifies a single fused Pallas kernel launch instead of replaying the
+kernel under vmap.
 """
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
-from typing import Mapping, Sequence
+import math
+from typing import Mapping
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from .. import constants
 from ..spectral import SpectralGrid
 from ..utils import curtis_godson as cg
 from . import lines as lines_mod
+from . import pallas_kernels as pk
 from . import tips as tips_mod
 from .continua import OzoneContinuum, WaterVaporContinuum
 from .hitran import LineCatalog, parse_par_file
 from .molecules import MoleculeId
 from .optical_depth import (accumulate_near_pointwise, accumulate_tiled,
                             optical_depth_line_sample)
-from .xsec import CrossSectionTable, cfc_optical_depth, cia_optical_depth
+from .xsec import CrossSectionTable
 
 
 @dataclasses.dataclass
@@ -45,12 +48,15 @@ class GasOptics:
     tips: object = None
     line_chunk: int = 1024
     method: str = "tiled"      # "tiled" (TPU production) | "scatter"
-    tile: int = 512            # spectral tile width for the tiled method
-    tile_lchunk: int = 128     # lines per tiled reduction step
+    tile: int = 64             # spectral tile width for the tiled method
+    tile_lchunk: int = 128     # lines per jnp tiled reduction step
+    pallas: str = "auto"       # "auto" | "on" | "off" | "interpret"
+    pallas_ch: int = 32        # lines per Pallas DMA chunk
     molecules: dict = dataclasses.field(default_factory=dict)  # id -> GridLines
     tiles: dict = dataclasses.field(default_factory=dict)      # id -> LineTiles
     near_steps: dict = dataclasses.field(default_factory=dict)  # id -> int
     point_ranges: dict = dataclasses.field(default_factory=dict)  # id -> PointRanges
+    chunk_ranges: dict = dataclasses.field(default_factory=dict)  # id -> (lo, nchunks, lpad)
     cfcs: dict = dataclasses.field(default_factory=dict)       # id -> table
     cias: list = dataclasses.field(default_factory=list)       # (id1, id2, table)
 
@@ -65,6 +71,19 @@ class GasOptics:
         # larger than the default tile anyway).
         eighth = -(-self.grid.n // 8)
         self.tile = min(self.tile, max(8, -(-eighth // 8) * 8))
+        self.pallas_ch = min(self.pallas_ch,
+                             max(8, -(-self.line_chunk // 8) * 8))
+
+    @property
+    def _fsteps(self) -> int:
+        return int(math.ceil(self.wcutoff / self.grid.dw))
+
+    def _use_pallas(self) -> bool:
+        if self.pallas == "on" or self.pallas == "interpret":
+            return True
+        if self.pallas == "off":
+            return False
+        return jax.default_backend() == "tpu"
 
     # -- registration (host side, mirrors add_molecule/add_cfc/add_cia) ----
     def add_molecule(self, mol_id, min_line_center: float | None = None,
@@ -88,8 +107,7 @@ class GasOptics:
             max(self.line_chunk,
                 -(-bound.num_lines // self.line_chunk) * self.line_chunk))
         self.molecules[catalog.mol_id] = padded
-        import math as _math
-        fsteps = int(_math.ceil(self.wcutoff / self.grid.dw))
+        fsteps = self._fsteps
         self.tiles[catalog.mol_id] = lines_mod.build_tiles(
             padded, self.grid.n, fsteps, tile=self.tile,
             lane_multiple=self.tile_lchunk)
@@ -98,6 +116,8 @@ class GasOptics:
         self.near_steps[catalog.mol_id] = near
         self.point_ranges[catalog.mol_id] = lines_mod.build_point_ranges(
             padded, self.grid.n, near)
+        self.chunk_ranges[catalog.mol_id] = pk.build_chunk_ranges(
+            padded.c0, self.grid.n, fsteps, self.tile, self.pallas_ch)
 
     def add_cfc(self, cfc_id, path: str):
         table = CrossSectionTable.from_file(int(cfc_id), path, self.grid)
@@ -115,27 +135,36 @@ class GasOptics:
                       cfc_vmr: Mapping[int, jnp.ndarray] | None = None,
                       cia_vmr: Mapping[int, jnp.ndarray] | None = None,
                       block_start=None, block_size: int | None = None):
-        """Single-column gas optical depth (nlayers, n_w).
+        """Gas optical depth (..., nlayers, n_w).
 
         Args:
-          level_pressure_mb: (nlevels,) pressure [mb].
-          level_temperature: (nlevels,) temperature [K].
-          vmr: molecule id -> (nlevels,) mole fraction (NOT ppmv; multiply
-            ppmv by 1e-6, gas_optics.c:308-312).
+          level_pressure_mb: (nlevels,) or (B, nlevels) pressure [mb].
+          level_temperature: same shape, temperature [K].
+          vmr: molecule id -> level mole fraction (NOT ppmv; multiply
+            ppmv by 1e-6, gas_optics.c:308-312), matching shape.
           cfc_vmr / cia_vmr: same for cross-section species / CIA species.
           block_start / block_size: when set, compute only the spectral
             window [block_start, block_start + block_size) — ``block_start``
             may be traced (spectral-shard index * block), ``block_size`` is
-            static.  Result shape becomes (nlayers, block_size).
+            static.  Result shape becomes (..., nlayers, block_size).
 
         Pure function of its array arguments — jit / vmap / pjit freely.
+        A leading batch axis is handled natively (and preferred over vmap:
+        the batch densifies one kernel launch).
         """
         cfc_vmr = cfc_vmr or {}
         cia_vmr = cia_vmr or {}
-        p_atm = jnp.asarray(level_pressure_mb, jnp.float32) * constants.MB_TO_ATM
-        t = jnp.asarray(level_temperature, jnp.float32)
-        n = cg.number_densities(p_atm)
-        pavg, tavg = cg.layer_pressures_temperatures(p_atm, t)
+        p_in = jnp.asarray(level_pressure_mb, jnp.float32)
+        batched = p_in.ndim == 2
+        p2 = jnp.atleast_2d(p_in) * constants.MB_TO_ATM    # (B, nlev) [atm]
+        t2 = jnp.atleast_2d(jnp.asarray(level_temperature, jnp.float32))
+        B, nlev = p2.shape
+        nlayers = nlev - 1
+        rows = B * nlayers
+
+        n2d = cg.number_densities(p2)
+        pavg2, tavg2 = cg.layer_pressures_temperatures(p2, t2)
+        pavg, tavg = pavg2.reshape(rows), tavg2.reshape(rows)
 
         start = 0 if block_start is None else block_start
         nw = self.grid.n if block_size is None else block_size
@@ -147,32 +176,46 @@ class GasOptics:
             return jax.lax.dynamic_slice_in_dim(
                 _pad_table(table, nw), jnp.asarray(start, jnp.int32), nw)
 
-        nlayers = p_atm.shape[-1] - 1
-        tau = jnp.zeros((nlayers, nw), jnp.float32)
+        def lev(x):
+            """Level-quantity input -> (B, nlev)."""
+            return jnp.atleast_2d(jnp.asarray(x, jnp.float32))
+
+        tau = jnp.zeros((rows, nw), jnp.float32)
 
         for mol_id, bound in self.molecules.items():
-            x = jnp.asarray(vmr[mol_id], jnp.float32)
-            psavg, ns = cg.partial_pressures_and_densities(p_atm, x, n)
+            x = lev(vmr[mol_id])
+            psavg2, ns2 = cg.partial_pressures_and_densities(p2, x, n2d)
+            psavg, ns = psavg2.reshape(rows), ns2.reshape(rows)
             prep = lines_mod.prepare(bound, self.grid, pavg, tavg, psavg,
                                      tips=self.tips)
             if self.method == "tiled":
-                tiles = self.tiles[mol_id]
                 near = self.near_steps[mol_id]
-                # Split accumulation: cheap far-wing tiled pass (regions
-                # 0/1 Voigt) + a small-window near-core scatter pass with
-                # the full region evaluation.  Exact: the passes partition
-                # the window at |grid offset| == near, chosen so the far
-                # side always satisfies |x| >= 12.81.
+                # Split accumulation: cheap far-wing pass (regions 0/1
+                # Voigt) + a small-window near-core pass with the full
+                # region evaluation.  Exact: the passes partition the
+                # window at |grid offset| == near, chosen so the far side
+                # always satisfies |x| >= 12.81.
                 # NOTE: block_start must be a multiple of self.tile.
-                tau = accumulate_tiled(
-                    prep.center_idx, prep.center_frac, prep.strength,
-                    prep.lorentz, prep.doppler, ns,
-                    jnp.asarray(tiles.tile_lines),
-                    num_wpoints=nw, dw=float(self.grid.dw),
-                    fsteps=tiles.fsteps, tile=tiles.tile,
-                    lchunk=self.tile_lchunk, tau0=tau, start=start,
-                    num_global=self.grid.n, exclude_within=near,
-                    far_kernel=True)
+                if self._use_pallas():
+                    lo, nchunks, lpad = self.chunk_ranges[mol_id]
+                    tau = pk.accumulate_far_pallas(
+                        prep, ns, (lo, nchunks), num_wpoints=nw,
+                        dw=float(self.grid.dw), fsteps=self._fsteps,
+                        near=near, tile=self.tile, ch=self.pallas_ch,
+                        lpad=lpad, num_global=self.grid.n, tau0=tau,
+                        start=start,
+                        interpret=self.pallas == "interpret")
+                else:
+                    tiles = self.tiles[mol_id]
+                    tau = accumulate_tiled(
+                        prep.center_idx, prep.center_frac, prep.strength,
+                        prep.lorentz, prep.doppler, ns,
+                        jnp.asarray(tiles.tile_lines),
+                        num_wpoints=nw, dw=float(self.grid.dw),
+                        fsteps=tiles.fsteps, tile=tiles.tile,
+                        lchunk=self.tile_lchunk, tau0=tau, start=start,
+                        num_global=self.grid.n, exclude_within=near,
+                        far_kernel=True)
                 ranges = self.point_ranges[mol_id]
                 tau = accumulate_near_pointwise(
                     prep.center_idx, prep.center_frac, prep.strength,
@@ -198,17 +241,23 @@ class GasOptics:
                     spectral(self.o3_ctm.cross_section)[None, :]
 
         for cfc_id, table in self.cfcs.items():
-            x = jnp.asarray(cfc_vmr[cfc_id], jnp.float32)
-            tau = tau + cfc_optical_depth(table, n, x,
-                                          xs=spectral(table.cross_section))
+            x = lev(cfc_vmr[cfc_id])
+            xavg = 0.5 * (x[:, :-1] + x[:, 1:])
+            tau = tau + (n2d * xavg).reshape(rows)[:, None] * \
+                spectral(table.cross_section)[None, :]
 
         for s1, s2, table in self.cias:
-            x1 = jnp.asarray(cia_vmr[s1], jnp.float32)
-            x2 = jnp.asarray(cia_vmr[s2], jnp.float32)
-            tau = tau + cia_optical_depth(table, p_atm, tavg, x1, x2,
-                                          xs=spectral(table.cross_section))
+            x1 = lev(cia_vmr[s1])
+            x2 = lev(cia_vmr[s2])
+            c = jnp.float32(constants.CIA_COLUMN_FACTOR)
+            n_sq = c * ((p2[:, :-1] ** 2 - p2[:, 1:] ** 2) / tavg2) * 0.25 * \
+                (x1[:, :-1] + x1[:, 1:]) * (x2[:, :-1] + x2[:, 1:])
+            n_sq = jnp.abs(n_sq)
+            tau = tau + n_sq.reshape(rows)[:, None] * \
+                spectral(table.cross_section)[None, :]
 
-        return tau
+        tau = tau.reshape(B, nlayers, nw)
+        return tau if batched else tau[0]
 
 
 def _pad_table(table, block: int):

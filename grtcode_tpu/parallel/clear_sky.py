@@ -19,7 +19,6 @@ single-device trapezoid exactly.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -56,13 +55,14 @@ def stack_vmr(gas: GasOptics, vmr: dict, group: str = "molecules"):
 
 
 def _unstack(gas: GasOptics, rows, group: str):
+    """(..., M, nlevels) stacked vmr -> {species id: (..., nlevels)}."""
     if group == "molecules":
         ids = list(gas.molecules)
     elif group == "cfcs":
         ids = list(gas.cfcs)
     else:
         ids = sorted({s for s1, s2, _ in gas.cias for s in (s1, s2)})
-    return {i: rows[k] for k, i in enumerate(ids)}
+    return {i: rows[..., k, :] for k, i in enumerate(ids)}
 
 
 def _trapezoid_weights(start, block, n_global, dw):
@@ -89,13 +89,17 @@ class ClearSkyRT:
     sw_gas: GasOptics | None = None
     solar: SolarFlux | None = None
 
-    # -- single column, one spectral block per band ------------------------
-    def _column(self, col, start_lw, block_lw, start_sw, block_sw,
+    # -- batched columns, one spectral block per band -----------------------
+    def _fluxes(self, col, start_lw, block_lw, start_sw, block_sw,
                 solar_padded):
-        """col: dict of per-column arrays.  Returns partial band-integrated
-        per-level fluxes (rlu, rld, rsu, rsd), each (nlevels,)."""
+        """col: dict of batched arrays ((B, ...) leading axis).  Returns
+        partial band-integrated per-level fluxes (rlu, rld, rsu, rsd),
+        each (B, nlevels).  The gas-optics line passes run once over the
+        flattened (B x layer) rows — one dense (Pallas) kernel launch per
+        molecule instead of a vmap replay."""
         p_lev, t_lev = col["p_lev"], col["t_lev"]
-        t_layers = 0.5 * (t_lev[:-1] + t_lev[1:])
+        B = p_lev.shape[0]
+        t_layers = 0.5 * (t_lev[:, :-1] + t_lev[:, 1:])
 
         lwg = self.lw_gas.grid
         full_lw = block_lw == lwg.n
@@ -110,7 +114,8 @@ class ClearSkyRT:
         w_lw = jnp.float32(lwg.w0) + \
             (start_lw + jnp.arange(block_lw, dtype=jnp.int32)).astype(
                 jnp.float32) * jnp.float32(lwg.dw)
-        emis = jnp.broadcast_to(col["emis"], (block_lw,)).astype(jnp.float32)
+        emis = jnp.broadcast_to(col["emis"][..., None],
+                                (B, block_lw)).astype(jnp.float32)
         flu, fld = longwave_fluxes(tau_lw, jnp.zeros_like(tau_lw),
                                    col["t_surf"], t_layers, t_lev, emis, w_lw)
         wts = _trapezoid_weights(start_lw, block_lw, lwg.n, lwg.dw)
@@ -132,23 +137,23 @@ class ClearSkyRT:
                 jnp.float32) * jnp.float32(swg.dw)
         p_atm = jnp.asarray(p_lev, jnp.float32) * constants.MB_TO_ATM
         n_air = cg.number_densities(p_atm)
-        tau_ray = rayleigh_tau(n_air, w_sw)
+        tau_ray = jax.vmap(rayleigh_tau, in_axes=(0, None))(n_air, w_sw)
         tau_tot = tau_sw + tau_ray
         omega = jnp.where(tau_tot > 0.0, tau_ray / jnp.maximum(tau_tot, 1e-30),
                           0.0)
         g = jnp.zeros_like(tau_tot)
         sol = jax.lax.dynamic_slice_in_dim(
             solar_padded, jnp.asarray(start_sw, jnp.int32), block_sw)
-        a_dir = jnp.broadcast_to(col["albedo_dir"], (block_sw,)).astype(
-            jnp.float32)
-        a_dif = jnp.broadcast_to(col["albedo_dif"], (block_sw,)).astype(
-            jnp.float32)
+        a_dir = jnp.broadcast_to(col["albedo_dir"][..., None],
+                                 (B, block_sw)).astype(jnp.float32)
+        a_dif = jnp.broadcast_to(col["albedo_dif"][..., None],
+                                 (B, block_sw)).astype(jnp.float32)
         mu = jnp.maximum(col["mu_dir"], 1e-6)
-        fsu, fsd = shortwave_fluxes(tau_tot, omega, g, mu,
-                                    jnp.float32(DIFFUSE_MU), a_dir, a_dif,
-                                    col["tsi"], sol)
+        mu_dif = jnp.full((B,), DIFFUSE_MU, jnp.float32)
+        fsu, fsd = shortwave_fluxes(tau_tot, omega, g, mu, mu_dif,
+                                    a_dir, a_dif, col["tsi"], sol)
         # Zero the SW pass for night columns (driver.c:706: cos(theta) > 0).
-        day = (col["mu_dir"] > 0.0).astype(jnp.float32)
+        day = (col["mu_dir"] > 0.0).astype(jnp.float32)[:, None]
         wts_sw = _trapezoid_weights(start_sw, block_sw, swg.n, swg.dw)
         rsu = (fsu * wts_sw).sum(-1) * day
         rsd = (fsd * wts_sw).sum(-1) * day
@@ -180,11 +185,10 @@ class ClearSkyRT:
 
         if mesh is None:
             def run(batch):
-                fn = partial(self._column, start_lw=0, block_lw=lwg.n,
-                             start_sw=0,
-                             block_sw=swg.n if swg is not None else 1,
-                             solar_padded=solar_arr)
-                rlu, rld, rsu, rsd = jax.vmap(fn)(batch)
+                rlu, rld, rsu, rsd = self._fluxes(
+                    batch, start_lw=0, block_lw=lwg.n, start_sw=0,
+                    block_sw=swg.n if swg is not None else 1,
+                    solar_padded=solar_arr)
                 return {"rlu": rlu, "rld": rld, "rsu": rsu, "rsd": rsd}
             return jax.jit(run)
 
@@ -202,11 +206,10 @@ class ClearSkyRT:
 
         def local(batch):
             s = jax.lax.axis_index(SPECTRAL_AXIS)
-            fn = partial(self._column,
-                         start_lw=s * block_lw, block_lw=block_lw,
-                         start_sw=s * block_sw, block_sw=block_sw,
-                         solar_padded=solar_padded)
-            rlu, rld, rsu, rsd = jax.vmap(fn)(batch)
+            rlu, rld, rsu, rsd = self._fluxes(
+                batch, start_lw=s * block_lw, block_lw=block_lw,
+                start_sw=s * block_sw, block_sw=block_sw,
+                solar_padded=solar_padded)
             out = {"rlu": rlu, "rld": rld, "rsu": rsu, "rsd": rsd}
             return jax.lax.psum(out, SPECTRAL_AXIS)
 

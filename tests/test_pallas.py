@@ -1,0 +1,147 @@
+"""Pallas far-wing kernel == jnp tiled far-wing accumulation.
+
+Runs the Pallas kernel in interpreter mode on CPU against the jnp ground
+truth (accumulate_tiled with far_kernel=True), including spectral-block
+offsets and batched (rows = columns x layers) inputs.
+"""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from grtcode_tpu.spectral import SpectralGrid
+from grtcode_tpu.gas_optics import lines as lines_mod
+from grtcode_tpu.gas_optics import pallas_kernels as pk
+from grtcode_tpu.gas_optics.hitran import synthetic_catalog
+from grtcode_tpu.gas_optics.optical_depth import accumulate_tiled
+from grtcode_tpu.utils import curtis_godson as cg
+from grtcode_tpu import constants
+
+TILE = 32
+CH = 16
+
+
+@pytest.fixture(scope="module")
+def setup():
+    grid = SpectralGrid(100.0, 180.0, 0.1)
+    n_lines = 120
+    rng = np.random.default_rng(5)
+    vnn = np.sort(rng.uniform(90.0, 190.0, n_lines))
+    cat = synthetic_catalog(
+        1, vnn, rng.uniform(1e-22, 1e-19, n_lines),
+        yair=rng.uniform(0.02, 0.1, n_lines),
+        yself=rng.uniform(0.05, 0.4, n_lines),
+        en=rng.uniform(0.0, 2000.0, n_lines),
+        n=rng.uniform(0.4, 0.8, n_lines),
+        d=rng.uniform(-0.02, 0.02, n_lines))
+    bound = lines_mod.bind_to_grid(cat, grid)
+
+    nlev = 7
+    B = 3
+    p = np.linspace(0.01, 1013.0, nlev)[None, :] * np.ones((B, 1))
+    t = np.linspace(215.0, 288.0, nlev)[None, :] + \
+        rng.uniform(-3, 3, (B, nlev))
+    x = rng.uniform(1e-5, 1e-2, (B, nlev))
+
+    p_atm = jnp.asarray(p, jnp.float32) * constants.MB_TO_ATM
+    t = jnp.asarray(t, jnp.float32)
+    n_air = cg.number_densities(p_atm)
+    pavg, tavg = cg.layer_pressures_temperatures(p_atm, t)
+    psavg, ns = cg.partial_pressures_and_densities(
+        p_atm, jnp.asarray(x, jnp.float32), n_air)
+
+    # Flatten (B, nlayers) -> rows.
+    rows = B * (nlev - 1)
+    prep = lines_mod.prepare(bound, grid, pavg.reshape(rows),
+                             tavg.reshape(rows), psavg.reshape(rows))
+    ns_rows = ns.reshape(rows)
+    fsteps = 30
+    near = 4
+    return grid, bound, prep, ns_rows, fsteps, near
+
+
+def _jnp_far(grid, bound, prep, ns, fsteps, near, num_wpoints, start):
+    tiles = lines_mod.build_tiles(bound, grid.n, fsteps, tile=TILE,
+                                  lane_multiple=8)
+    return accumulate_tiled(
+        prep.center_idx, prep.center_frac, prep.strength, prep.lorentz,
+        prep.doppler, ns, jnp.asarray(tiles.tile_lines),
+        num_wpoints=num_wpoints, dw=float(grid.dw), fsteps=fsteps,
+        tile=TILE, lchunk=8, start=start, num_global=grid.n,
+        exclude_within=near, far_kernel=True)
+
+
+def _pallas_far(grid, bound, prep, ns, fsteps, near, num_wpoints, start):
+    lo, nchunks, lpad = pk.build_chunk_ranges(
+        bound.c0, grid.n, fsteps, TILE, CH)
+    return pk.accumulate_far_pallas(
+        prep, ns, (lo, nchunks), num_wpoints=num_wpoints,
+        dw=float(grid.dw), fsteps=fsteps, near=near, tile=TILE, ch=CH,
+        lpad=lpad, num_global=grid.n, start=start, interpret=True)
+
+
+def test_pallas_far_matches_jnp_full(setup):
+    grid, bound, prep, ns, fsteps, near = setup
+    nw = -(-grid.n // TILE) * TILE
+    ref = np.asarray(_jnp_far(grid, bound, prep, ns, fsteps, near, nw, 0))
+    got = np.asarray(_pallas_far(grid, bound, prep, ns, fsteps, near, nw, 0))
+    np.testing.assert_allclose(got, ref, rtol=2e-6, atol=1e-12)
+    assert np.isfinite(got).all()
+    assert np.abs(ref).max() > 0
+
+
+def test_pallas_far_blocks(setup):
+    grid, bound, prep, ns, fsteps, near = setup
+    n = -(-grid.n // TILE) * TILE
+    block = 4 * TILE
+    full = np.asarray(_pallas_far(grid, bound, prep, ns, fsteps, near, n, 0))
+    for start in range(0, n, block):
+        got = np.asarray(_pallas_far(grid, bound, prep, ns, fsteps, near,
+                                     block, start))
+        want = full[:, start:start + block]
+        pad = block - want.shape[1]
+        if pad:
+            want = np.pad(want, ((0, 0), (0, pad)))
+        np.testing.assert_allclose(got, want, rtol=2e-6, atol=1e-12)
+
+
+def test_gas_optics_batched_matches_single():
+    """Batched (B, nlev) optical_depth == per-column calls; and the full
+    tiled+near pipeline with the Pallas far kernel (interpret mode)
+    == the jnp tiled path."""
+    from grtcode_tpu.gas_optics.gas_optics import GasOptics
+
+    grid = SpectralGrid(100.0, 160.0, 0.1)
+    rng = np.random.default_rng(9)
+    n_lines = 60
+    vnn = np.sort(rng.uniform(95.0, 165.0, n_lines))
+    cat = synthetic_catalog(
+        1, vnn, rng.uniform(1e-22, 1e-19, n_lines),
+        yair=rng.uniform(0.02, 0.1, n_lines),
+        yself=rng.uniform(0.05, 0.4, n_lines),
+        en=rng.uniform(0.0, 2000.0, n_lines),
+        n=rng.uniform(0.4, 0.8, n_lines),
+        d=rng.uniform(-0.02, 0.02, n_lines))
+
+    nlev, B = 6, 3
+    p = np.linspace(0.01, 1013.0, nlev)[None, :] * np.ones((B, 1))
+    t = np.linspace(215.0, 288.0, nlev)[None, :] + \
+        rng.uniform(-3, 3, (B, nlev))
+    x = rng.uniform(1e-5, 1e-2, (B, nlev))
+    p, t, x = (jnp.asarray(a, jnp.float32) for a in (p, t, x))
+
+    gas = GasOptics(grid, line_chunk=32, pallas="off")
+    gas.add_catalog(cat)
+    tau_b = gas.optical_depth(p, t, {1: x})
+    assert tau_b.shape == (B, nlev - 1, grid.n)
+    for b in range(B):
+        tau_1 = gas.optical_depth(p[b], t[b], {1: x[b]})
+        np.testing.assert_allclose(np.asarray(tau_b[b]), np.asarray(tau_1),
+                                   rtol=1e-6, atol=1e-12)
+
+    gas_pl = GasOptics(grid, line_chunk=32, pallas="interpret")
+    gas_pl.add_catalog(cat)
+    tau_jnp = tau_b
+    tau_pl = gas_pl.optical_depth(p, t, {1: x})
+    np.testing.assert_allclose(np.asarray(tau_pl), np.asarray(tau_jnp),
+                               rtol=2e-6, atol=1e-12)
+    assert np.abs(np.asarray(tau_jnp)).max() > 0

@@ -1,0 +1,358 @@
+// C ABI implementation: a thin C++ shim that embeds CPython and dispatches
+// into grtcode_tpu.bindings.capi_impl.
+//
+// TPU-native equivalent of the reference's fortran-bindings C shim
+// (fortran-bindings/malloc_structs.c:40-67): instead of malloc'ing opaque
+// structs for a C library, the shim holds int64 handles into a Python-side
+// registry and crosses buffers as zero-copy memoryviews.  All numerics run
+// in the jit-compiled JAX/Pallas pipeline — this file contains no compute.
+//
+// Build: see native/Makefile (g++ + python3-config --embed).
+
+#include "grtcode_tpu_c.h"
+
+#include <Python.h>
+
+#include <cstdio>
+#include <cstring>
+#include <mutex>
+
+namespace {
+
+char g_err[4096] = "";
+bool g_we_initialized = false;
+std::once_flag g_init_once;
+
+// Capture the pending Python exception (with traceback) into g_err.
+void capture_py_error() {
+  PyObject *type = nullptr, *value = nullptr, *tb = nullptr;
+  PyErr_Fetch(&type, &value, &tb);
+  PyErr_NormalizeException(&type, &value, &tb);
+  PyObject *str = value ? PyObject_Str(value) : nullptr;
+  const char *msg = str ? PyUnicode_AsUTF8(str) : "python error";
+  PyObject *tname =
+      type ? PyObject_GetAttrString(type, "__name__") : nullptr;
+  const char *tn = tname ? PyUnicode_AsUTF8(tname) : "Exception";
+  std::snprintf(g_err, sizeof(g_err), "%s: %s", tn ? tn : "Exception",
+                msg ? msg : "");
+  Py_XDECREF(tname);
+  Py_XDECREF(str);
+  Py_XDECREF(type);
+  Py_XDECREF(value);
+  Py_XDECREF(tb);
+}
+
+// RAII GIL scope: every ABI entry point runs under this.
+struct Gil {
+  PyGILState_STATE state;
+  Gil() : state(PyGILState_Ensure()) {}
+  ~Gil() { PyGILState_Release(state); }
+};
+
+PyObject *impl_module() {
+  static PyObject *mod = nullptr;  // borrowed forever (immortal)
+  if (!mod) {
+    mod = PyImport_ImportModule("grtcode_tpu.bindings.capi_impl");
+    if (!mod) capture_py_error();
+  }
+  return mod;
+}
+
+// Call capi_impl.<fn>(*args); returns new ref or nullptr (g_err set).
+PyObject *call(const char *fn, PyObject *args /* stolen */) {
+  PyObject *mod = impl_module();
+  if (!mod) {
+    Py_XDECREF(args);
+    return nullptr;
+  }
+  PyObject *f = PyObject_GetAttrString(mod, fn);
+  if (!f) {
+    capture_py_error();
+    Py_XDECREF(args);
+    return nullptr;
+  }
+  PyObject *res = PyObject_CallObject(f, args);
+  Py_DECREF(f);
+  Py_XDECREF(args);
+  if (!res) capture_py_error();
+  return res;
+}
+
+// Variants returning an int / int64 result or filling nothing.
+int call_status(const char *fn, PyObject *args) {
+  PyObject *r = call(fn, args);
+  if (!r) return 1;
+  long rc = PyLong_Check(r) ? PyLong_AsLong(r) : 0;
+  Py_DECREF(r);
+  return static_cast<int>(rc);
+}
+
+int call_handle(const char *fn, PyObject *args, grt_handle *out) {
+  PyObject *r = call(fn, args);
+  if (!r) return 1;
+  *out = static_cast<grt_handle>(PyLong_AsLongLong(r));
+  Py_DECREF(r);
+  return GRT_SUCCESS;
+}
+
+int call_int(const char *fn, PyObject *args, int *out) {
+  PyObject *r = call(fn, args);
+  if (!r) return 1;
+  *out = static_cast<int>(PyLong_AsLong(r));
+  Py_DECREF(r);
+  return GRT_SUCCESS;
+}
+
+// Zero-copy views over caller buffers (n doubles).
+PyObject *mv_ro(const double *p, Py_ssize_t n) {
+  return PyMemoryView_FromMemory(
+      reinterpret_cast<char *>(const_cast<double *>(p)),
+      n * static_cast<Py_ssize_t>(sizeof(double)), PyBUF_READ);
+}
+PyObject *mv_rw(double *p, Py_ssize_t n) {
+  return PyMemoryView_FromMemory(reinterpret_cast<char *>(p),
+                                 n * static_cast<Py_ssize_t>(sizeof(double)),
+                                 PyBUF_WRITE);
+}
+
+PyObject *str_or_empty(const char *s) {
+  return PyUnicode_FromString(s ? s : "");
+}
+
+// Query an int-valued size helper for an optics handle.
+int optics_query(const char *fn, grt_handle h, Py_ssize_t *out) {
+  int v = 0;
+  if (call_int(fn, Py_BuildValue("(L)", (long long)h), &v)) return 1;
+  *out = v;
+  return GRT_SUCCESS;
+}
+
+}  // namespace
+
+extern "C" {
+
+int grt_initialize(void) {
+  std::call_once(g_init_once, [] {
+    if (!Py_IsInitialized()) {
+      Py_InitializeEx(0);
+      g_we_initialized = true;
+      // Release the GIL acquired by Py_Initialize so later entry points
+      // can PyGILState_Ensure from any thread.
+      PyEval_SaveThread();
+    }
+  });
+  return GRT_SUCCESS;
+}
+
+int grt_finalize(void) {
+  // Keep the interpreter alive when the host process owns it (in-process
+  // test path); tear down only what we booted.
+  if (g_we_initialized) {
+    PyGILState_Ensure();
+    Py_Finalize();
+    g_we_initialized = false;
+  }
+  return GRT_SUCCESS;
+}
+
+const char *grt_errstr(void) { return g_err; }
+
+int grt_create_device(int device_id, grt_handle *out) {
+  Gil gil;
+  return call_handle("create_device", Py_BuildValue("(i)", device_id), out);
+}
+
+int grt_num_devices(int *out) {
+  Gil gil;
+  return call_int("num_devices", PyTuple_New(0), out);
+}
+
+int grt_create_spectral_grid(double w0, double wn, double dw,
+                             grt_handle *out) {
+  Gil gil;
+  return call_handle("create_spectral_grid",
+                     Py_BuildValue("(ddd)", w0, wn, dw), out);
+}
+
+int grt_spectral_grid_properties(grt_handle grid, double props[3]) {
+  Gil gil;
+  return call_status("spectral_grid_properties",
+                     Py_BuildValue("(LN)", (long long)grid, mv_rw(props, 3)));
+}
+
+int grt_create_optics(int num_layers, grt_handle grid, grt_handle *out) {
+  Gil gil;
+  return call_handle("create_optics",
+                     Py_BuildValue("(iL)", num_layers, (long long)grid), out);
+}
+
+int grt_optics_properties(grt_handle optics, double *tau, double *omega,
+                          double *g) {
+  Gil gil;
+  Py_ssize_t n = 0;
+  if (optics_query("optics_size", optics, &n)) return 1;
+  return call_status(
+      "optics_properties",
+      Py_BuildValue("(LNNN)", (long long)optics, mv_rw(tau, n),
+                    mv_rw(omega, n), mv_rw(g, n)));
+}
+
+int grt_add_optics(grt_handle result, const grt_handle *parts, int n) {
+  Gil gil;
+  PyObject *mv = PyMemoryView_FromMemory(
+      reinterpret_cast<char *>(const_cast<grt_handle *>(parts)),
+      static_cast<Py_ssize_t>(n) * sizeof(grt_handle), PyBUF_READ);
+  return call_status("add_optics",
+                     Py_BuildValue("(LN)", (long long)result, mv));
+}
+
+int grt_create_solar_flux(grt_handle grid, const char *csv_path,
+                          grt_handle *out) {
+  Gil gil;
+  return call_handle(
+      "create_solar_flux",
+      Py_BuildValue("(LN)", (long long)grid, str_or_empty(csv_path)), out);
+}
+
+int grt_solar_flux_properties(grt_handle solar, double *incident_flux) {
+  Gil gil;
+  // Size = grid points of the bound grid; fetched Python-side via the
+  // registry, so pass a view sized by a helper query.
+  PyObject *r = call("solar_flux_size",
+                     Py_BuildValue("(L)", (long long)solar));
+  if (!r) return 1;
+  Py_ssize_t n = PyLong_AsSsize_t(r);
+  Py_DECREF(r);
+  return call_status(
+      "solar_flux_properties",
+      Py_BuildValue("(LN)", (long long)solar, mv_rw(incident_flux, n)));
+}
+
+int grt_create_gas_optics(grt_handle grid, int num_levels,
+                          const char *hitran_path, const char *h2o_ctm_dir,
+                          const char *o3_ctm_file, grt_handle *out) {
+  Gil gil;
+  return call_handle(
+      "create_gas_optics",
+      Py_BuildValue("(LiNNN)", (long long)grid, num_levels,
+                    str_or_empty(hitran_path), str_or_empty(h2o_ctm_dir),
+                    str_or_empty(o3_ctm_file)),
+      out);
+}
+
+int grt_add_molecule(grt_handle gas, int molecule_id, double min_line_center,
+                     double max_line_center) {
+  Gil gil;
+  return call_status("add_molecule",
+                     Py_BuildValue("(Lidd)", (long long)gas, molecule_id,
+                                   min_line_center, max_line_center));
+}
+
+int grt_num_molecules(grt_handle gas, int *out) {
+  Gil gil;
+  return call_int("num_molecules", Py_BuildValue("(L)", (long long)gas), out);
+}
+
+int grt_set_molecule_ppmv(grt_handle gas, int molecule_id,
+                          const double *ppmv) {
+  Gil gil;
+  Py_ssize_t nlev = 0;
+  if (optics_query("gas_optics_num_levels", gas, &nlev)) return 1;
+  return call_status("set_molecule_ppmv",
+                     Py_BuildValue("(LiN)", (long long)gas, molecule_id,
+                                   mv_ro(ppmv, nlev)));
+}
+
+int grt_add_cfc(grt_handle gas, int cfc_id, const char *csv_path) {
+  Gil gil;
+  return call_status("add_cfc", Py_BuildValue("(LiN)", (long long)gas, cfc_id,
+                                              str_or_empty(csv_path)));
+}
+
+int grt_set_cfc_ppmv(grt_handle gas, int cfc_id, const double *ppmv) {
+  Gil gil;
+  Py_ssize_t nlev = 0;
+  if (optics_query("gas_optics_num_levels", gas, &nlev)) return 1;
+  return call_status("set_cfc_ppmv", Py_BuildValue("(LiN)", (long long)gas,
+                                                   cfc_id, mv_ro(ppmv, nlev)));
+}
+
+int grt_add_cia(grt_handle gas, int species1, int species2,
+                const char *csv_path) {
+  Gil gil;
+  return call_status("add_cia",
+                     Py_BuildValue("(LiiN)", (long long)gas, species1,
+                                   species2, str_or_empty(csv_path)));
+}
+
+int grt_set_cia_ppmv(grt_handle gas, int species_id, const double *ppmv) {
+  Gil gil;
+  Py_ssize_t nlev = 0;
+  if (optics_query("gas_optics_num_levels", gas, &nlev)) return 1;
+  return call_status("set_cia_ppmv",
+                     Py_BuildValue("(LiN)", (long long)gas, species_id,
+                                   mv_ro(ppmv, nlev)));
+}
+
+int grt_calculate_optical_depth(grt_handle gas, const double *pressure_mb,
+                                const double *temperature,
+                                grt_handle optics) {
+  Gil gil;
+  Py_ssize_t nlev = 0;
+  if (optics_query("gas_optics_num_levels", gas, &nlev)) return 1;
+  return call_status(
+      "calculate_optical_depth",
+      Py_BuildValue("(LNNL)", (long long)gas, mv_ro(pressure_mb, nlev),
+                    mv_ro(temperature, nlev), (long long)optics));
+}
+
+int grt_rayleigh_scattering(grt_handle optics, const double *pressure_mb) {
+  Gil gil;
+  Py_ssize_t n = 0;
+  if (optics_query("optics_size", optics, &n)) return 1;
+  Py_ssize_t nw = 0;
+  if (optics_query("optics_num_wavenumbers", optics, &nw)) return 1;
+  Py_ssize_t nlev = n / nw + 1;
+  return call_status(
+      "rayleigh_scattering",
+      Py_BuildValue("(LN)", (long long)optics, mv_ro(pressure_mb, nlev)));
+}
+
+int grt_longwave_fluxes(grt_handle optics, double t_surf,
+                        const double *t_levels, const double *emissivity,
+                        double *flux_up, double *flux_down) {
+  Gil gil;
+  Py_ssize_t nflux = 0, nw = 0, n = 0;
+  if (optics_query("optics_levels_size", optics, &nflux)) return 1;
+  if (optics_query("optics_num_wavenumbers", optics, &nw)) return 1;
+  if (optics_query("optics_size", optics, &n)) return 1;
+  Py_ssize_t nlev = n / nw + 1;
+  return call_status(
+      "longwave_fluxes",
+      Py_BuildValue("(LdNNNN)", (long long)optics, t_surf,
+                    mv_ro(t_levels, nlev), mv_ro(emissivity, nw),
+                    mv_rw(flux_up, nflux), mv_rw(flux_down, nflux)));
+}
+
+int grt_shortwave_fluxes(grt_handle optics, double mu_dir, double mu_dif,
+                         const double *albedo_dir, const double *albedo_dif,
+                         double total_solar_irradiance, grt_handle solar,
+                         double *flux_up, double *flux_down) {
+  Gil gil;
+  Py_ssize_t nflux = 0, nw = 0;
+  if (optics_query("optics_levels_size", optics, &nflux)) return 1;
+  if (optics_query("optics_num_wavenumbers", optics, &nw)) return 1;
+  return call_status(
+      "shortwave_fluxes",
+      Py_BuildValue("(LddNNdLNN)", (long long)optics, mu_dir, mu_dif,
+                    mv_ro(albedo_dir, nw), mv_ro(albedo_dif, nw),
+                    total_solar_irradiance, (long long)solar,
+                    mv_rw(flux_up, nflux), mv_rw(flux_down, nflux)));
+}
+
+int grt_destroy(grt_handle h) {
+  Gil gil;
+  return call_status("destroy", Py_BuildValue("(L)", (long long)h));
+}
+
+}  // extern "C"

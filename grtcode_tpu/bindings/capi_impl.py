@@ -27,6 +27,7 @@ import numpy as np
 _registry: dict[int, object] = {}
 _next_handle = itertools.count(1)
 _lock = threading.Lock()
+_default_device = None  # jax.Device chosen via use_device(), or None
 
 GRTCODE_SUCCESS = 0
 
@@ -55,9 +56,51 @@ def _f64(buf, n=None):
 
 # -- device (utilities/src/device.c:26-75) ---------------------------------
 
+def _resolve_device(device_id: int):
+    """id >= 0 -> jax.devices()[id]; -1 -> host CPU (HOST_ONLY,
+    utilities/src/device.h:26-34)."""
+    import jax
+
+    if device_id < 0:
+        return jax.devices("cpu")[0]
+    devs = jax.devices()
+    if device_id >= len(devs):
+        raise IndexError(
+            f"device id {device_id} out of range ({len(devs)} devices)")
+    return devs[device_id]
+
+
 def create_device(device_id: int) -> int:
-    """Device_t equivalent: an index into jax.devices().  -1 = host CPU."""
-    return _register({"kind": "device", "id": int(device_id)})
+    """Device_t equivalent: resolves to a concrete jax.Device at creation
+    time (create_device, utilities/src/device.c:53-75).  The first device
+    created becomes the process default for all compute entry points, like
+    the reference where the Device_t passed to create_gas_optics governs
+    placement; use_device() switches it explicitly."""
+    dev = _resolve_device(int(device_id))
+    h = _register({"kind": "device", "id": int(device_id), "device": dev})
+    global _default_device
+    if _default_device is None:
+        _default_device = dev
+    return h
+
+
+def use_device(handle: int) -> int:
+    """Makes the device behind ``handle`` the default for subsequent compute
+    calls (grt_use_device)."""
+    global _default_device
+    _default_device = _get(handle)["device"]
+    return GRTCODE_SUCCESS
+
+
+def _device_scope():
+    """Context manager placing jit dispatch on the selected device."""
+    import contextlib
+
+    import jax
+
+    if _default_device is None:
+        return contextlib.nullcontext()
+    return jax.default_device(_default_device)
 
 
 def num_devices() -> int:
@@ -129,9 +172,10 @@ def add_optics(result_handle: int, handles) -> int:
 
     hs = np.frombuffer(handles, dtype=np.int64)
     parts = [_get(int(h)) for h in hs]
-    combined = combine([
-        Optics(jnp.asarray(p["tau"]), jnp.asarray(p["omega"]),
-               jnp.asarray(p["g"])) for p in parts])
+    with _device_scope():
+        combined = combine([
+            Optics(jnp.asarray(p["tau"]), jnp.asarray(p["omega"]),
+                   jnp.asarray(p["g"])) for p in parts])
     res = _get(result_handle)
     res["tau"] = np.asarray(combined.tau, np.float64)
     res["omega"] = np.asarray(combined.omega, np.float64)
@@ -254,9 +298,11 @@ def calculate_optical_depth(handle: int, p_mb, t, optics_handle: int) -> int:
         st["step"] = (step, mol_ids, cfc_ids, cia_ids)
     step, mol_ids, cfc_ids, cia_ids = st["step"]
     to_vmr = lambda d, ids: [d[i] * 1e-6 for i in ids]  # noqa: E731
-    tau = step(p.astype(np.float32), temp.astype(np.float32),
-               to_vmr(st["ppmv"], mol_ids), to_vmr(st["cfc_ppmv"], cfc_ids),
-               to_vmr(st["cia_ppmv"], cia_ids))
+    with _device_scope():
+        tau = step(p.astype(np.float32), temp.astype(np.float32),
+                   to_vmr(st["ppmv"], mol_ids),
+                   to_vmr(st["cfc_ppmv"], cfc_ids),
+                   to_vmr(st["cia_ppmv"], cia_ids))
     out = _get(optics_handle)
     out["tau"] = np.asarray(tau, np.float64)
     out["omega"][:] = 0.0
@@ -271,7 +317,8 @@ def rayleigh_scattering(optics_handle: int, p_mb) -> int:
 
     o = _get(optics_handle)
     nlev = o["nlayers"] + 1
-    opt = rayleigh_optics(_f64(p_mb, nlev), o["grid"])
+    with _device_scope():
+        opt = rayleigh_optics(_f64(p_mb, nlev), o["grid"])
     o["tau"] = np.asarray(opt.tau, np.float64)
     o["omega"] = np.asarray(opt.omega, np.float64)
     o["g"] = np.asarray(opt.g, np.float64)
@@ -280,8 +327,11 @@ def rayleigh_scattering(optics_handle: int, p_mb) -> int:
 
 # -- solvers (C-only in the reference; longwave.c:312, shortwave.c:506) ------
 
-def longwave_fluxes(optics_handle: int, t_surf: float, t_levels, emis,
-                    flux_up_out, flux_down_out) -> int:
+def longwave_fluxes(optics_handle: int, t_surf: float, t_levels, t_layers,
+                    emis, flux_up_out, flux_down_out) -> int:
+    """Mirrors calculate_lw_fluxes (longwave/src/longwave.c:312-353): layer
+    temperatures are an explicit argument; an empty/None ``t_layers`` falls
+    back to level midpoints (documented approximation, not silent)."""
     import jax.numpy as jnp
 
     from ..solvers.longwave import longwave_fluxes as lw
@@ -291,12 +341,14 @@ def longwave_fluxes(optics_handle: int, t_surf: float, t_levels, emis,
     tl = _f64(t_levels, nlev)
     grid = o["grid"]
     em = _f64(emis, grid.n)
-    tlay = 0.5 * (tl[:-1] + tl[1:])
-    up, down = lw(jnp.asarray(o["tau"], jnp.float32),
-                  jnp.asarray(o["omega"], jnp.float32),
-                  jnp.float32(t_surf), jnp.asarray(tlay, jnp.float32),
-                  jnp.asarray(tl, jnp.float32), jnp.asarray(em, jnp.float32),
-                  grid.wavenumbers())
+    tlay = (0.5 * (tl[:-1] + tl[1:]) if t_layers is None
+            else _f64(t_layers, o["nlayers"]).copy())
+    with _device_scope():
+        up, down = lw(jnp.asarray(o["tau"], jnp.float32),
+                      jnp.asarray(o["omega"], jnp.float32),
+                      jnp.float32(t_surf), jnp.asarray(tlay, jnp.float32),
+                      jnp.asarray(tl, jnp.float32),
+                      jnp.asarray(em, jnp.float32), grid.wavenumbers())
     _f64(flux_up_out, up.size)[:] = np.asarray(up, np.float64).ravel()
     _f64(flux_down_out, down.size)[:] = np.asarray(down, np.float64).ravel()
     return GRTCODE_SUCCESS
@@ -312,14 +364,15 @@ def shortwave_fluxes(optics_handle: int, mu_dir: float, mu_dif: float,
     o = _get(optics_handle)
     grid = o["grid"]
     sf = _get(solar_handle)
-    up, down = sw(jnp.asarray(o["tau"], jnp.float32),
-                  jnp.asarray(o["omega"], jnp.float32),
-                  jnp.asarray(o["g"], jnp.float32),
-                  jnp.float32(mu_dir), jnp.float32(mu_dif),
-                  jnp.asarray(_f64(albedo_dir, grid.n), jnp.float32),
-                  jnp.asarray(_f64(albedo_dif, grid.n), jnp.float32),
-                  jnp.float32(tsi),
-                  jnp.asarray(sf.incident_flux, jnp.float32))
+    with _device_scope():
+        up, down = sw(jnp.asarray(o["tau"], jnp.float32),
+                      jnp.asarray(o["omega"], jnp.float32),
+                      jnp.asarray(o["g"], jnp.float32),
+                      jnp.float32(mu_dir), jnp.float32(mu_dif),
+                      jnp.asarray(_f64(albedo_dir, grid.n), jnp.float32),
+                      jnp.asarray(_f64(albedo_dif, grid.n), jnp.float32),
+                      jnp.float32(tsi),
+                      jnp.asarray(sf.incident_flux, jnp.float32))
     _f64(flux_up_out, up.size)[:] = np.asarray(up, np.float64).ravel()
     _f64(flux_down_out, down.size)[:] = np.asarray(down, np.float64).ravel()
     return GRTCODE_SUCCESS

@@ -41,7 +41,8 @@ integer(kind=c_int), parameter, public :: CFC11 = 0, CFC12 = 1, CFC113 = 2, &
 integer(kind=c_int), parameter, public :: CIA_N2 = 0, CIA_O2 = 1, &
     MAX_NUM_CIAS = 2
 
-public :: f_initialize, f_finalize, f_create_device, f_num_devices, &
+public :: f_initialize, f_finalize, f_create_device, f_use_device, &
+          f_num_devices, &
           f_create_spectral_grid, f_spectral_grid_properties, &
           f_create_optics, f_optics_properties, f_add_optics, &
           f_create_solar_flux, f_solar_flux_properties, &
@@ -71,6 +72,14 @@ integer(kind=c_int), intent(in), value :: device_id
 integer(kind=c_int64_t), intent(out) :: handle
 integer(kind=c_int) :: rc
 end function f_create_device
+
+!> Makes the device the default placement for compute calls
+!> (grt_use_device, native/grtcode_tpu_c.h).
+function f_use_device(device) bind(c, name="grt_use_device") result(rc)
+import c_int, c_int64_t
+integer(kind=c_int64_t), intent(in), value :: device
+integer(kind=c_int) :: rc
+end function f_use_device
 
 function f_num_devices(n) bind(c, name="grt_num_devices") result(rc)
 import c_int
@@ -126,15 +135,17 @@ integer(kind=c_int), intent(in), value :: n
 integer(kind=c_int) :: rc
 end function f_add_optics
 
-!> Mirrors f_create_solar_flux (grtcode_fortran.F90:686-701).
-function f_create_solar_flux(grid, csv_path, handle) &
+!> Raw C interface; use the f_create_solar_flux wrapper, which
+!> null-terminates the path (mirrors append_null_char,
+!> fortran-bindings/grtcode_fortran.F90:123-133).
+function c_create_solar_flux(grid, csv_path, handle) &
     bind(c, name="grt_create_solar_flux") result(rc)
 import c_char, c_int, c_int64_t
 integer(kind=c_int64_t), intent(in), value :: grid
 character(kind=c_char), dimension(*), intent(in) :: csv_path
 integer(kind=c_int64_t), intent(out) :: handle
 integer(kind=c_int) :: rc
-end function f_create_solar_flux
+end function c_create_solar_flux
 
 !> Mirrors f_solar_flux_properties (grtcode_fortran.F90:716-722).
 function f_solar_flux_properties(solar, incident_flux) &
@@ -145,8 +156,8 @@ real(kind=c_double), dimension(*), intent(out) :: incident_flux
 integer(kind=c_int) :: rc
 end function f_solar_flux_properties
 
-!> Mirrors f_create_gas_optics (grtcode_fortran.F90:725-762).
-function f_create_gas_optics(grid, num_levels, hitran_path, h2o_ctm_dir, &
+!> Raw C interface; use the f_create_gas_optics wrapper.
+function c_create_gas_optics(grid, num_levels, hitran_path, h2o_ctm_dir, &
                              o3_ctm_file, handle) &
     bind(c, name="grt_create_gas_optics") result(rc)
 import c_char, c_int, c_int64_t
@@ -157,7 +168,7 @@ character(kind=c_char), dimension(*), intent(in) :: h2o_ctm_dir
 character(kind=c_char), dimension(*), intent(in) :: o3_ctm_file
 integer(kind=c_int64_t), intent(out) :: handle
 integer(kind=c_int) :: rc
-end function f_create_gas_optics
+end function c_create_gas_optics
 
 !> Mirrors f_add_molecule (grtcode_fortran.F90:777-785); pass <= 0 bounds
 !> for "use grid bounds".
@@ -188,15 +199,15 @@ real(kind=c_double), dimension(*), intent(in) :: ppmv
 integer(kind=c_int) :: rc
 end function f_set_molecule_ppmv
 
-!> Mirrors f_add_cfc (grtcode_fortran.F90:798-808).
-function f_add_cfc(gas, cfc_id, csv_path) &
+!> Raw C interface; use the f_add_cfc wrapper.
+function c_add_cfc(gas, cfc_id, csv_path) &
     bind(c, name="grt_add_cfc") result(rc)
 import c_char, c_int, c_int64_t
 integer(kind=c_int64_t), intent(in), value :: gas
 integer(kind=c_int), intent(in), value :: cfc_id
 character(kind=c_char), dimension(*), intent(in) :: csv_path
 integer(kind=c_int) :: rc
-end function f_add_cfc
+end function c_add_cfc
 
 !> Mirrors f_set_cfc_ppmv (grtcode_fortran.F90:811-818).
 function f_set_cfc_ppmv(gas, cfc_id, ppmv) &
@@ -208,15 +219,15 @@ real(kind=c_double), dimension(*), intent(in) :: ppmv
 integer(kind=c_int) :: rc
 end function f_set_cfc_ppmv
 
-!> Mirrors f_add_cia (grtcode_fortran.F90:821-832).
-function f_add_cia(gas, species1, species2, csv_path) &
+!> Raw C interface; use the f_add_cia wrapper.
+function c_add_cia(gas, species1, species2, csv_path) &
     bind(c, name="grt_add_cia") result(rc)
 import c_char, c_int, c_int64_t
 integer(kind=c_int64_t), intent(in), value :: gas
 integer(kind=c_int), intent(in), value :: species1, species2
 character(kind=c_char), dimension(*), intent(in) :: csv_path
 integer(kind=c_int) :: rc
-end function f_add_cia
+end function c_add_cia
 
 !> Mirrors f_set_cia_ppmv (grtcode_fortran.F90:835-842).
 function f_set_cia_ppmv(gas, species_id, ppmv) &
@@ -248,13 +259,16 @@ integer(kind=c_int) :: rc
 end function f_rayleigh_scattering
 
 !> LW solver (C-only in the reference, longwave/src/longwave.c:312-353).
-function f_longwave_fluxes(optics, t_surf, t_levels, emissivity, flux_up, &
-                           flux_down) &
+!> t_layers is the explicit num_layers layer-temperature array, matching
+!> calculate_lw_fluxes' T_layers argument.
+function f_longwave_fluxes(optics, t_surf, t_levels, t_layers, emissivity, &
+                           flux_up, flux_down) &
     bind(c, name="grt_longwave_fluxes") result(rc)
 import c_double, c_int, c_int64_t
 integer(kind=c_int64_t), intent(in), value :: optics
 real(kind=c_double), intent(in), value :: t_surf
-real(kind=c_double), dimension(*), intent(in) :: t_levels, emissivity
+real(kind=c_double), dimension(*), intent(in) :: t_levels, t_layers, &
+                                                 emissivity
 real(kind=c_double), dimension(*), intent(out) :: flux_up, flux_down
 integer(kind=c_int) :: rc
 end function f_longwave_fluxes
@@ -282,5 +296,57 @@ integer(kind=c_int) :: rc
 end function f_destroy
 
 end interface
+
+contains
+
+!> Null-terminated copy of a Fortran string for the C ABI (equivalent of
+!> the reference's append_null_char, fortran-bindings/grtcode_fortran.F90).
+pure function null_terminate(s) result(c)
+character(len=*), intent(in) :: s
+character(kind=c_char, len=len_trim(s)+1) :: c
+c = trim(s)//c_null_char
+end function null_terminate
+
+!> Mirrors f_create_solar_flux (grtcode_fortran.F90:686-701); accepts a
+!> plain Fortran string and null-terminates it.
+function f_create_solar_flux(grid, csv_path, handle) result(rc)
+integer(kind=c_int64_t), intent(in) :: grid
+character(len=*), intent(in) :: csv_path
+integer(kind=c_int64_t), intent(out) :: handle
+integer(kind=c_int) :: rc
+rc = c_create_solar_flux(grid, null_terminate(csv_path), handle)
+end function f_create_solar_flux
+
+!> Mirrors f_create_gas_optics (grtcode_fortran.F90:725-762).  Pass empty
+!> strings to skip the HITRAN database or either continuum.
+function f_create_gas_optics(grid, num_levels, hitran_path, h2o_ctm_dir, &
+                             o3_ctm_file, handle) result(rc)
+integer(kind=c_int64_t), intent(in) :: grid
+integer(kind=c_int), intent(in) :: num_levels
+character(len=*), intent(in) :: hitran_path, h2o_ctm_dir, o3_ctm_file
+integer(kind=c_int64_t), intent(out) :: handle
+integer(kind=c_int) :: rc
+rc = c_create_gas_optics(grid, num_levels, null_terminate(hitran_path), &
+                         null_terminate(h2o_ctm_dir), &
+                         null_terminate(o3_ctm_file), handle)
+end function f_create_gas_optics
+
+!> Mirrors f_add_cfc (grtcode_fortran.F90:798-808).
+function f_add_cfc(gas, cfc_id, csv_path) result(rc)
+integer(kind=c_int64_t), intent(in) :: gas
+integer(kind=c_int), intent(in) :: cfc_id
+character(len=*), intent(in) :: csv_path
+integer(kind=c_int) :: rc
+rc = c_add_cfc(gas, cfc_id, null_terminate(csv_path))
+end function f_add_cfc
+
+!> Mirrors f_add_cia (grtcode_fortran.F90:821-832).
+function f_add_cia(gas, species1, species2, csv_path) result(rc)
+integer(kind=c_int64_t), intent(in) :: gas
+integer(kind=c_int), intent(in) :: species1, species2
+character(len=*), intent(in) :: csv_path
+integer(kind=c_int) :: rc
+rc = c_add_cia(gas, species1, species2, null_terminate(csv_path))
+end function f_add_cia
 
 end module grtcode_tpu

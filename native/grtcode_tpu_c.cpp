@@ -21,7 +21,9 @@ namespace {
 
 char g_err[4096] = "";
 bool g_we_initialized = false;
-std::once_flag g_init_once;
+bool g_finalized = false;
+std::mutex g_init_mutex;
+PyObject *g_impl_module = nullptr;  // cached capi_impl module (owned ref)
 
 // Capture the pending Python exception (with traceback) into g_err.
 void capture_py_error() {
@@ -50,12 +52,21 @@ struct Gil {
 };
 
 PyObject *impl_module() {
-  static PyObject *mod = nullptr;  // borrowed forever (immortal)
-  if (!mod) {
-    mod = PyImport_ImportModule("grtcode_tpu.bindings.capi_impl");
-    if (!mod) capture_py_error();
+  if (!g_impl_module) {
+    g_impl_module = PyImport_ImportModule("grtcode_tpu.bindings.capi_impl");
+    if (!g_impl_module) capture_py_error();
   }
-  return mod;
+  return g_impl_module;
+}
+
+// True when the interpreter is up; otherwise set g_err and fail fast so a
+// call after grt_finalize (or before grt_initialize) returns an error code
+// instead of crashing inside PyGILState_Ensure.
+bool interpreter_ready() {
+  if (Py_IsInitialized()) return true;
+  std::snprintf(g_err, sizeof(g_err),
+                "grtcode_tpu: interpreter not running (call grt_initialize)");
+  return false;
 }
 
 // Call capi_impl.<fn>(*args); returns new ref or nullptr (g_err set).
@@ -132,25 +143,36 @@ int optics_query(const char *fn, grt_handle h, Py_ssize_t *out) {
 extern "C" {
 
 int grt_initialize(void) {
-  std::call_once(g_init_once, [] {
-    if (!Py_IsInitialized()) {
-      Py_InitializeEx(0);
-      g_we_initialized = true;
-      // Release the GIL acquired by Py_Initialize so later entry points
-      // can PyGILState_Ensure from any thread.
-      PyEval_SaveThread();
-    }
-  });
+  std::lock_guard<std::mutex> lock(g_init_mutex);
+  if (g_finalized) {
+    // CPython extensions (numpy, jax) do not survive Py_Finalize +
+    // Py_Initialize in one process; refuse loudly instead of crashing.
+    std::snprintf(g_err, sizeof(g_err),
+                  "grtcode_tpu: cannot re-initialize after grt_finalize "
+                  "(CPython extension modules are not re-initializable); "
+                  "restart the process");
+    return 1;
+  }
+  if (!Py_IsInitialized()) {
+    Py_InitializeEx(0);
+    g_we_initialized = true;
+    // Release the GIL acquired by Py_Initialize so later entry points
+    // can PyGILState_Ensure from any thread.
+    PyEval_SaveThread();
+  }
   return GRT_SUCCESS;
 }
 
 int grt_finalize(void) {
   // Keep the interpreter alive when the host process owns it (in-process
-  // test path); tear down only what we booted.
+  // test path); tear down only what we booted.  Idempotent.
+  std::lock_guard<std::mutex> lock(g_init_mutex);
   if (g_we_initialized) {
     PyGILState_Ensure();
+    Py_CLEAR(g_impl_module);  // drop cache before it dangles
     Py_Finalize();
     g_we_initialized = false;
+    g_finalized = true;
   }
   return GRT_SUCCESS;
 }
@@ -158,29 +180,40 @@ int grt_finalize(void) {
 const char *grt_errstr(void) { return g_err; }
 
 int grt_create_device(int device_id, grt_handle *out) {
+  if (!interpreter_ready()) return 1;
   Gil gil;
   return call_handle("create_device", Py_BuildValue("(i)", device_id), out);
 }
 
+int grt_use_device(grt_handle device) {
+  if (!interpreter_ready()) return 1;
+  Gil gil;
+  return call_status("use_device", Py_BuildValue("(L)", (long long)device));
+}
+
 int grt_num_devices(int *out) {
+  if (!interpreter_ready()) return 1;
   Gil gil;
   return call_int("num_devices", PyTuple_New(0), out);
 }
 
 int grt_create_spectral_grid(double w0, double wn, double dw,
                              grt_handle *out) {
+  if (!interpreter_ready()) return 1;
   Gil gil;
   return call_handle("create_spectral_grid",
                      Py_BuildValue("(ddd)", w0, wn, dw), out);
 }
 
 int grt_spectral_grid_properties(grt_handle grid, double props[3]) {
+  if (!interpreter_ready()) return 1;
   Gil gil;
   return call_status("spectral_grid_properties",
                      Py_BuildValue("(LN)", (long long)grid, mv_rw(props, 3)));
 }
 
 int grt_create_optics(int num_layers, grt_handle grid, grt_handle *out) {
+  if (!interpreter_ready()) return 1;
   Gil gil;
   return call_handle("create_optics",
                      Py_BuildValue("(iL)", num_layers, (long long)grid), out);
@@ -188,6 +221,7 @@ int grt_create_optics(int num_layers, grt_handle grid, grt_handle *out) {
 
 int grt_optics_properties(grt_handle optics, double *tau, double *omega,
                           double *g) {
+  if (!interpreter_ready()) return 1;
   Gil gil;
   Py_ssize_t n = 0;
   if (optics_query("optics_size", optics, &n)) return 1;
@@ -198,6 +232,7 @@ int grt_optics_properties(grt_handle optics, double *tau, double *omega,
 }
 
 int grt_add_optics(grt_handle result, const grt_handle *parts, int n) {
+  if (!interpreter_ready()) return 1;
   Gil gil;
   PyObject *mv = PyMemoryView_FromMemory(
       reinterpret_cast<char *>(const_cast<grt_handle *>(parts)),
@@ -208,6 +243,7 @@ int grt_add_optics(grt_handle result, const grt_handle *parts, int n) {
 
 int grt_create_solar_flux(grt_handle grid, const char *csv_path,
                           grt_handle *out) {
+  if (!interpreter_ready()) return 1;
   Gil gil;
   return call_handle(
       "create_solar_flux",
@@ -215,6 +251,7 @@ int grt_create_solar_flux(grt_handle grid, const char *csv_path,
 }
 
 int grt_solar_flux_properties(grt_handle solar, double *incident_flux) {
+  if (!interpreter_ready()) return 1;
   Gil gil;
   // Size = grid points of the bound grid; fetched Python-side via the
   // registry, so pass a view sized by a helper query.
@@ -231,6 +268,7 @@ int grt_solar_flux_properties(grt_handle solar, double *incident_flux) {
 int grt_create_gas_optics(grt_handle grid, int num_levels,
                           const char *hitran_path, const char *h2o_ctm_dir,
                           const char *o3_ctm_file, grt_handle *out) {
+  if (!interpreter_ready()) return 1;
   Gil gil;
   return call_handle(
       "create_gas_optics",
@@ -242,6 +280,7 @@ int grt_create_gas_optics(grt_handle grid, int num_levels,
 
 int grt_add_molecule(grt_handle gas, int molecule_id, double min_line_center,
                      double max_line_center) {
+  if (!interpreter_ready()) return 1;
   Gil gil;
   return call_status("add_molecule",
                      Py_BuildValue("(Lidd)", (long long)gas, molecule_id,
@@ -249,12 +288,14 @@ int grt_add_molecule(grt_handle gas, int molecule_id, double min_line_center,
 }
 
 int grt_num_molecules(grt_handle gas, int *out) {
+  if (!interpreter_ready()) return 1;
   Gil gil;
   return call_int("num_molecules", Py_BuildValue("(L)", (long long)gas), out);
 }
 
 int grt_set_molecule_ppmv(grt_handle gas, int molecule_id,
                           const double *ppmv) {
+  if (!interpreter_ready()) return 1;
   Gil gil;
   Py_ssize_t nlev = 0;
   if (optics_query("gas_optics_num_levels", gas, &nlev)) return 1;
@@ -264,12 +305,14 @@ int grt_set_molecule_ppmv(grt_handle gas, int molecule_id,
 }
 
 int grt_add_cfc(grt_handle gas, int cfc_id, const char *csv_path) {
+  if (!interpreter_ready()) return 1;
   Gil gil;
   return call_status("add_cfc", Py_BuildValue("(LiN)", (long long)gas, cfc_id,
                                               str_or_empty(csv_path)));
 }
 
 int grt_set_cfc_ppmv(grt_handle gas, int cfc_id, const double *ppmv) {
+  if (!interpreter_ready()) return 1;
   Gil gil;
   Py_ssize_t nlev = 0;
   if (optics_query("gas_optics_num_levels", gas, &nlev)) return 1;
@@ -279,6 +322,7 @@ int grt_set_cfc_ppmv(grt_handle gas, int cfc_id, const double *ppmv) {
 
 int grt_add_cia(grt_handle gas, int species1, int species2,
                 const char *csv_path) {
+  if (!interpreter_ready()) return 1;
   Gil gil;
   return call_status("add_cia",
                      Py_BuildValue("(LiiN)", (long long)gas, species1,
@@ -286,6 +330,7 @@ int grt_add_cia(grt_handle gas, int species1, int species2,
 }
 
 int grt_set_cia_ppmv(grt_handle gas, int species_id, const double *ppmv) {
+  if (!interpreter_ready()) return 1;
   Gil gil;
   Py_ssize_t nlev = 0;
   if (optics_query("gas_optics_num_levels", gas, &nlev)) return 1;
@@ -297,6 +342,7 @@ int grt_set_cia_ppmv(grt_handle gas, int species_id, const double *ppmv) {
 int grt_calculate_optical_depth(grt_handle gas, const double *pressure_mb,
                                 const double *temperature,
                                 grt_handle optics) {
+  if (!interpreter_ready()) return 1;
   Gil gil;
   Py_ssize_t nlev = 0;
   if (optics_query("gas_optics_num_levels", gas, &nlev)) return 1;
@@ -307,6 +353,7 @@ int grt_calculate_optical_depth(grt_handle gas, const double *pressure_mb,
 }
 
 int grt_rayleigh_scattering(grt_handle optics, const double *pressure_mb) {
+  if (!interpreter_ready()) return 1;
   Gil gil;
   Py_ssize_t n = 0;
   if (optics_query("optics_size", optics, &n)) return 1;
@@ -319,18 +366,27 @@ int grt_rayleigh_scattering(grt_handle optics, const double *pressure_mb) {
 }
 
 int grt_longwave_fluxes(grt_handle optics, double t_surf,
-                        const double *t_levels, const double *emissivity,
-                        double *flux_up, double *flux_down) {
+                        const double *t_levels, const double *t_layers,
+                        const double *emissivity, double *flux_up,
+                        double *flux_down) {
+  if (!interpreter_ready()) return 1;
   Gil gil;
   Py_ssize_t nflux = 0, nw = 0, n = 0;
   if (optics_query("optics_levels_size", optics, &nflux)) return 1;
   if (optics_query("optics_num_wavenumbers", optics, &nw)) return 1;
   if (optics_query("optics_size", optics, &n)) return 1;
   Py_ssize_t nlev = n / nw + 1;
+  PyObject *tlay;
+  if (t_layers) {
+    tlay = mv_ro(t_layers, nlev - 1);
+  } else {
+    tlay = Py_None;
+    Py_INCREF(tlay);
+  }
   return call_status(
       "longwave_fluxes",
-      Py_BuildValue("(LdNNNN)", (long long)optics, t_surf,
-                    mv_ro(t_levels, nlev), mv_ro(emissivity, nw),
+      Py_BuildValue("(LdNNNNN)", (long long)optics, t_surf,
+                    mv_ro(t_levels, nlev), tlay, mv_ro(emissivity, nw),
                     mv_rw(flux_up, nflux), mv_rw(flux_down, nflux)));
 }
 
@@ -338,6 +394,7 @@ int grt_shortwave_fluxes(grt_handle optics, double mu_dir, double mu_dif,
                          const double *albedo_dir, const double *albedo_dif,
                          double total_solar_irradiance, grt_handle solar,
                          double *flux_up, double *flux_down) {
+  if (!interpreter_ready()) return 1;
   Gil gil;
   Py_ssize_t nflux = 0, nw = 0;
   if (optics_query("optics_levels_size", optics, &nflux)) return 1;
@@ -351,6 +408,7 @@ int grt_shortwave_fluxes(grt_handle optics, double mu_dir, double mu_dif,
 }
 
 int grt_destroy(grt_handle h) {
+  if (!interpreter_ready()) return 1;
   Gil gil;
   return call_status("destroy", Py_BuildValue("(L)", (long long)h));
 }

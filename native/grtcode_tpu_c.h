@@ -31,8 +31,13 @@ int grt_initialize(void);
 int grt_finalize(void);
 const char *grt_errstr(void);
 
-/* Device (utilities/src/device.c:26-75).  id = -1 selects host. */
+/* Device (utilities/src/device.c:26-75).  id >= 0 selects
+ * jax.devices()[id]; id = -1 selects the host CPU.  The first device
+ * created becomes the default placement for all compute entry points
+ * (mirroring the Device_t handed to create_gas_optics in the reference);
+ * grt_use_device switches the default explicitly. */
 int grt_create_device(int device_id, grt_handle *out);
+int grt_use_device(grt_handle device);
 int grt_num_devices(int *out);
 
 /* Spectral grid (utilities/src/spectral_grid.c:32-112). */
@@ -83,10 +88,14 @@ int grt_calculate_optical_depth(grt_handle gas,
 int grt_rayleigh_scattering(grt_handle optics, const double *pressure_mb);
 
 /* Solvers (C-only in the reference: longwave.c:312, shortwave.c:506).
- * Outputs are row-major (num_levels, num_wavenumbers) in W cm m-2. */
+ * Outputs are row-major (num_levels, num_wavenumbers) in W cm m-2.
+ * t_layers is the num_layers layer-temperature array (explicit, matching
+ * calculate_lw_fluxes, longwave/src/longwave.c:312); pass NULL to use the
+ * level-midpoint approximation 0.5*(T_lev[i] + T_lev[i+1]). */
 int grt_longwave_fluxes(grt_handle optics, double t_surf,
-                        const double *t_levels, const double *emissivity,
-                        double *flux_up, double *flux_down);
+                        const double *t_levels, const double *t_layers,
+                        const double *emissivity, double *flux_up,
+                        double *flux_down);
 int grt_shortwave_fluxes(grt_handle optics, double mu_dir, double mu_dif,
                          const double *albedo_dir, const double *albedo_dif,
                          double total_solar_irradiance, grt_handle solar,

@@ -11,8 +11,9 @@ inverse; the non-reentrant `rand()` subcolumn generator
 from .beta import beta_value, beta_inverse
 from .stochastic import overlap_parameter, cloudiness, sample_condensate
 from .pade import PadeCloudOptics
+from .hu_stamnes import HuStamnesLiquidOptics
 from .lib import CloudOpticsLib, ice_particle_size
 
 __all__ = ["beta_value", "beta_inverse", "overlap_parameter", "cloudiness",
-           "sample_condensate", "PadeCloudOptics", "CloudOpticsLib",
-           "ice_particle_size"]
+           "sample_condensate", "PadeCloudOptics", "HuStamnesLiquidOptics",
+           "CloudOpticsLib", "ice_particle_size"]

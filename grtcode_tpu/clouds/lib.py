@@ -67,8 +67,12 @@ def overlap_from_pressure(layer_pressure_mb):
 
 @dataclasses.dataclass
 class CloudOpticsLib:
-    """Liquid + ice Pade tables bound to the solver workflow
-    (initialize_clouds_lib / cloud_optics, clouds_lib.c:18-150)."""
+    """Liquid + ice band-optics tables bound to the solver workflow
+    (initialize_clouds_lib / cloud_optics, clouds_lib.c:18-150).
+
+    ``liquid`` accepts any object with the ``evaluate(wc, radius) ->
+    (ext, ssa, g)`` + ``band_lims`` contract: PadeCloudOptics or the
+    legacy HuStamnesLiquidOptics (liquid_cloud_optics.c)."""
 
     liquid: PadeCloudOptics
     ice: PadeCloudOptics

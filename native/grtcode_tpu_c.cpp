@@ -25,7 +25,40 @@ bool g_finalized = false;
 std::mutex g_init_mutex;
 PyObject *g_impl_module = nullptr;  // cached capi_impl module (owned ref)
 
-// Capture the pending Python exception (with traceback) into g_err.
+int g_errcode = GRT_SENTINEL_ERR;  // code of the last captured exception
+
+// Exception type name -> reference return code (return_codes.h:25-40).
+int code_for_exception(const char *type_name) {
+  if (!type_name) return GRT_SENTINEL_ERR;
+  struct Entry {
+    const char *name;
+    int code;
+  };
+  static const Entry kMap[] = {
+      {"ValueError", GRT_VALUE_ERR},
+      {"IndexError", GRT_RANGE_ERR},
+      {"KeyError", GRT_RANGE_ERR},
+      {"FileNotFoundError", GRT_IO_ERR},
+      {"PermissionError", GRT_IO_ERR},
+      {"IsADirectoryError", GRT_IO_ERR},
+      {"OSError", GRT_IO_ERR},
+      {"IOError", GRT_IO_ERR},
+      {"ZeroDivisionError", GRT_DIVBYZERO_ERR},
+      {"OverflowError", GRT_OVERFLOW_ERR},
+      {"FloatingPointError", GRT_INVALID_ERR},
+      {"MemoryError", GRT_NON_NULL_ERR},
+      {"NotImplementedError", GRT_COMPILER_ERR},
+      {"XlaRuntimeError", GRT_GPU_ERR},
+      {"RuntimeError", GRT_GPU_ERR},
+  };
+  for (const Entry &e : kMap) {
+    if (std::strcmp(type_name, e.name) == 0) return e.code;
+  }
+  return GRT_SENTINEL_ERR;
+}
+
+// Capture the pending Python exception (with traceback) into g_err and
+// translate its type to a return code in g_errcode.
 void capture_py_error() {
   PyObject *type = nullptr, *value = nullptr, *tb = nullptr;
   PyErr_Fetch(&type, &value, &tb);
@@ -37,6 +70,7 @@ void capture_py_error() {
   const char *tn = tname ? PyUnicode_AsUTF8(tname) : "Exception";
   std::snprintf(g_err, sizeof(g_err), "%s: %s", tn ? tn : "Exception",
                 msg ? msg : "");
+  g_errcode = code_for_exception(tn);
   Py_XDECREF(tname);
   Py_XDECREF(str);
   Py_XDECREF(type);
@@ -89,10 +123,11 @@ PyObject *call(const char *fn, PyObject *args /* stolen */) {
   return res;
 }
 
-// Variants returning an int / int64 result or filling nothing.
+// Variants returning an int / int64 result or filling nothing.  On a
+// Python exception they return the translated reference return code.
 int call_status(const char *fn, PyObject *args) {
   PyObject *r = call(fn, args);
-  if (!r) return 1;
+  if (!r) return g_errcode;
   long rc = PyLong_Check(r) ? PyLong_AsLong(r) : 0;
   Py_DECREF(r);
   return static_cast<int>(rc);
@@ -100,7 +135,7 @@ int call_status(const char *fn, PyObject *args) {
 
 int call_handle(const char *fn, PyObject *args, grt_handle *out) {
   PyObject *r = call(fn, args);
-  if (!r) return 1;
+  if (!r) return g_errcode;
   *out = static_cast<grt_handle>(PyLong_AsLongLong(r));
   Py_DECREF(r);
   return GRT_SUCCESS;
@@ -108,7 +143,7 @@ int call_handle(const char *fn, PyObject *args, grt_handle *out) {
 
 int call_int(const char *fn, PyObject *args, int *out) {
   PyObject *r = call(fn, args);
-  if (!r) return 1;
+  if (!r) return g_errcode;
   *out = static_cast<int>(PyLong_AsLong(r));
   Py_DECREF(r);
   return GRT_SUCCESS;
@@ -133,7 +168,8 @@ PyObject *str_or_empty(const char *s) {
 // Query an int-valued size helper for an optics handle.
 int optics_query(const char *fn, grt_handle h, Py_ssize_t *out) {
   int v = 0;
-  if (call_int(fn, Py_BuildValue("(L)", (long long)h), &v)) return 1;
+  int rc = call_int(fn, Py_BuildValue("(L)", (long long)h), &v);
+  if (rc) return rc;
   *out = v;
   return GRT_SUCCESS;
 }
@@ -151,7 +187,7 @@ int grt_initialize(void) {
                   "grtcode_tpu: cannot re-initialize after grt_finalize "
                   "(CPython extension modules are not re-initializable); "
                   "restart the process");
-    return 1;
+    return GRT_SENTINEL_ERR;
   }
   if (!Py_IsInitialized()) {
     Py_InitializeEx(0);
@@ -180,40 +216,40 @@ int grt_finalize(void) {
 const char *grt_errstr(void) { return g_err; }
 
 int grt_create_device(int device_id, grt_handle *out) {
-  if (!interpreter_ready()) return 1;
+  if (!interpreter_ready()) return GRT_SENTINEL_ERR;
   Gil gil;
   return call_handle("create_device", Py_BuildValue("(i)", device_id), out);
 }
 
 int grt_use_device(grt_handle device) {
-  if (!interpreter_ready()) return 1;
+  if (!interpreter_ready()) return GRT_SENTINEL_ERR;
   Gil gil;
   return call_status("use_device", Py_BuildValue("(L)", (long long)device));
 }
 
 int grt_num_devices(int *out) {
-  if (!interpreter_ready()) return 1;
+  if (!interpreter_ready()) return GRT_SENTINEL_ERR;
   Gil gil;
   return call_int("num_devices", PyTuple_New(0), out);
 }
 
 int grt_create_spectral_grid(double w0, double wn, double dw,
                              grt_handle *out) {
-  if (!interpreter_ready()) return 1;
+  if (!interpreter_ready()) return GRT_SENTINEL_ERR;
   Gil gil;
   return call_handle("create_spectral_grid",
                      Py_BuildValue("(ddd)", w0, wn, dw), out);
 }
 
 int grt_spectral_grid_properties(grt_handle grid, double props[3]) {
-  if (!interpreter_ready()) return 1;
+  if (!interpreter_ready()) return GRT_SENTINEL_ERR;
   Gil gil;
   return call_status("spectral_grid_properties",
                      Py_BuildValue("(LN)", (long long)grid, mv_rw(props, 3)));
 }
 
 int grt_create_optics(int num_layers, grt_handle grid, grt_handle *out) {
-  if (!interpreter_ready()) return 1;
+  if (!interpreter_ready()) return GRT_SENTINEL_ERR;
   Gil gil;
   return call_handle("create_optics",
                      Py_BuildValue("(iL)", num_layers, (long long)grid), out);
@@ -221,10 +257,10 @@ int grt_create_optics(int num_layers, grt_handle grid, grt_handle *out) {
 
 int grt_optics_properties(grt_handle optics, double *tau, double *omega,
                           double *g) {
-  if (!interpreter_ready()) return 1;
+  if (!interpreter_ready()) return GRT_SENTINEL_ERR;
   Gil gil;
   Py_ssize_t n = 0;
-  if (optics_query("optics_size", optics, &n)) return 1;
+  if (int rc = optics_query("optics_size", optics, &n)) return rc;
   return call_status(
       "optics_properties",
       Py_BuildValue("(LNNN)", (long long)optics, mv_rw(tau, n),
@@ -232,7 +268,7 @@ int grt_optics_properties(grt_handle optics, double *tau, double *omega,
 }
 
 int grt_add_optics(grt_handle result, const grt_handle *parts, int n) {
-  if (!interpreter_ready()) return 1;
+  if (!interpreter_ready()) return GRT_SENTINEL_ERR;
   Gil gil;
   PyObject *mv = PyMemoryView_FromMemory(
       reinterpret_cast<char *>(const_cast<grt_handle *>(parts)),
@@ -243,7 +279,7 @@ int grt_add_optics(grt_handle result, const grt_handle *parts, int n) {
 
 int grt_create_solar_flux(grt_handle grid, const char *csv_path,
                           grt_handle *out) {
-  if (!interpreter_ready()) return 1;
+  if (!interpreter_ready()) return GRT_SENTINEL_ERR;
   Gil gil;
   return call_handle(
       "create_solar_flux",
@@ -251,13 +287,13 @@ int grt_create_solar_flux(grt_handle grid, const char *csv_path,
 }
 
 int grt_solar_flux_properties(grt_handle solar, double *incident_flux) {
-  if (!interpreter_ready()) return 1;
+  if (!interpreter_ready()) return GRT_SENTINEL_ERR;
   Gil gil;
   // Size = grid points of the bound grid; fetched Python-side via the
   // registry, so pass a view sized by a helper query.
   PyObject *r = call("solar_flux_size",
                      Py_BuildValue("(L)", (long long)solar));
-  if (!r) return 1;
+  if (!r) return g_errcode;
   Py_ssize_t n = PyLong_AsSsize_t(r);
   Py_DECREF(r);
   return call_status(
@@ -268,7 +304,7 @@ int grt_solar_flux_properties(grt_handle solar, double *incident_flux) {
 int grt_create_gas_optics(grt_handle grid, int num_levels,
                           const char *hitran_path, const char *h2o_ctm_dir,
                           const char *o3_ctm_file, grt_handle *out) {
-  if (!interpreter_ready()) return 1;
+  if (!interpreter_ready()) return GRT_SENTINEL_ERR;
   Gil gil;
   return call_handle(
       "create_gas_optics",
@@ -280,7 +316,7 @@ int grt_create_gas_optics(grt_handle grid, int num_levels,
 
 int grt_add_molecule(grt_handle gas, int molecule_id, double min_line_center,
                      double max_line_center) {
-  if (!interpreter_ready()) return 1;
+  if (!interpreter_ready()) return GRT_SENTINEL_ERR;
   Gil gil;
   return call_status("add_molecule",
                      Py_BuildValue("(Lidd)", (long long)gas, molecule_id,
@@ -288,41 +324,41 @@ int grt_add_molecule(grt_handle gas, int molecule_id, double min_line_center,
 }
 
 int grt_num_molecules(grt_handle gas, int *out) {
-  if (!interpreter_ready()) return 1;
+  if (!interpreter_ready()) return GRT_SENTINEL_ERR;
   Gil gil;
   return call_int("num_molecules", Py_BuildValue("(L)", (long long)gas), out);
 }
 
 int grt_set_molecule_ppmv(grt_handle gas, int molecule_id,
                           const double *ppmv) {
-  if (!interpreter_ready()) return 1;
+  if (!interpreter_ready()) return GRT_SENTINEL_ERR;
   Gil gil;
   Py_ssize_t nlev = 0;
-  if (optics_query("gas_optics_num_levels", gas, &nlev)) return 1;
+  if (int rc = optics_query("gas_optics_num_levels", gas, &nlev)) return rc;
   return call_status("set_molecule_ppmv",
                      Py_BuildValue("(LiN)", (long long)gas, molecule_id,
                                    mv_ro(ppmv, nlev)));
 }
 
 int grt_add_cfc(grt_handle gas, int cfc_id, const char *csv_path) {
-  if (!interpreter_ready()) return 1;
+  if (!interpreter_ready()) return GRT_SENTINEL_ERR;
   Gil gil;
   return call_status("add_cfc", Py_BuildValue("(LiN)", (long long)gas, cfc_id,
                                               str_or_empty(csv_path)));
 }
 
 int grt_set_cfc_ppmv(grt_handle gas, int cfc_id, const double *ppmv) {
-  if (!interpreter_ready()) return 1;
+  if (!interpreter_ready()) return GRT_SENTINEL_ERR;
   Gil gil;
   Py_ssize_t nlev = 0;
-  if (optics_query("gas_optics_num_levels", gas, &nlev)) return 1;
+  if (int rc = optics_query("gas_optics_num_levels", gas, &nlev)) return rc;
   return call_status("set_cfc_ppmv", Py_BuildValue("(LiN)", (long long)gas,
                                                    cfc_id, mv_ro(ppmv, nlev)));
 }
 
 int grt_add_cia(grt_handle gas, int species1, int species2,
                 const char *csv_path) {
-  if (!interpreter_ready()) return 1;
+  if (!interpreter_ready()) return GRT_SENTINEL_ERR;
   Gil gil;
   return call_status("add_cia",
                      Py_BuildValue("(LiiN)", (long long)gas, species1,
@@ -330,10 +366,10 @@ int grt_add_cia(grt_handle gas, int species1, int species2,
 }
 
 int grt_set_cia_ppmv(grt_handle gas, int species_id, const double *ppmv) {
-  if (!interpreter_ready()) return 1;
+  if (!interpreter_ready()) return GRT_SENTINEL_ERR;
   Gil gil;
   Py_ssize_t nlev = 0;
-  if (optics_query("gas_optics_num_levels", gas, &nlev)) return 1;
+  if (int rc = optics_query("gas_optics_num_levels", gas, &nlev)) return rc;
   return call_status("set_cia_ppmv",
                      Py_BuildValue("(LiN)", (long long)gas, species_id,
                                    mv_ro(ppmv, nlev)));
@@ -342,10 +378,10 @@ int grt_set_cia_ppmv(grt_handle gas, int species_id, const double *ppmv) {
 int grt_calculate_optical_depth(grt_handle gas, const double *pressure_mb,
                                 const double *temperature,
                                 grt_handle optics) {
-  if (!interpreter_ready()) return 1;
+  if (!interpreter_ready()) return GRT_SENTINEL_ERR;
   Gil gil;
   Py_ssize_t nlev = 0;
-  if (optics_query("gas_optics_num_levels", gas, &nlev)) return 1;
+  if (int rc = optics_query("gas_optics_num_levels", gas, &nlev)) return rc;
   return call_status(
       "calculate_optical_depth",
       Py_BuildValue("(LNNL)", (long long)gas, mv_ro(pressure_mb, nlev),
@@ -353,12 +389,12 @@ int grt_calculate_optical_depth(grt_handle gas, const double *pressure_mb,
 }
 
 int grt_rayleigh_scattering(grt_handle optics, const double *pressure_mb) {
-  if (!interpreter_ready()) return 1;
+  if (!interpreter_ready()) return GRT_SENTINEL_ERR;
   Gil gil;
   Py_ssize_t n = 0;
-  if (optics_query("optics_size", optics, &n)) return 1;
+  if (int rc = optics_query("optics_size", optics, &n)) return rc;
   Py_ssize_t nw = 0;
-  if (optics_query("optics_num_wavenumbers", optics, &nw)) return 1;
+  if (int rc = optics_query("optics_num_wavenumbers", optics, &nw)) return rc;
   Py_ssize_t nlev = n / nw + 1;
   return call_status(
       "rayleigh_scattering",
@@ -369,12 +405,12 @@ int grt_longwave_fluxes(grt_handle optics, double t_surf,
                         const double *t_levels, const double *t_layers,
                         const double *emissivity, double *flux_up,
                         double *flux_down) {
-  if (!interpreter_ready()) return 1;
+  if (!interpreter_ready()) return GRT_SENTINEL_ERR;
   Gil gil;
   Py_ssize_t nflux = 0, nw = 0, n = 0;
-  if (optics_query("optics_levels_size", optics, &nflux)) return 1;
-  if (optics_query("optics_num_wavenumbers", optics, &nw)) return 1;
-  if (optics_query("optics_size", optics, &n)) return 1;
+  if (int rc = optics_query("optics_levels_size", optics, &nflux)) return rc;
+  if (int rc = optics_query("optics_num_wavenumbers", optics, &nw)) return rc;
+  if (int rc = optics_query("optics_size", optics, &n)) return rc;
   Py_ssize_t nlev = n / nw + 1;
   PyObject *tlay;
   if (t_layers) {
@@ -394,11 +430,11 @@ int grt_shortwave_fluxes(grt_handle optics, double mu_dir, double mu_dif,
                          const double *albedo_dir, const double *albedo_dif,
                          double total_solar_irradiance, grt_handle solar,
                          double *flux_up, double *flux_down) {
-  if (!interpreter_ready()) return 1;
+  if (!interpreter_ready()) return GRT_SENTINEL_ERR;
   Gil gil;
   Py_ssize_t nflux = 0, nw = 0;
-  if (optics_query("optics_levels_size", optics, &nflux)) return 1;
-  if (optics_query("optics_num_wavenumbers", optics, &nw)) return 1;
+  if (int rc = optics_query("optics_levels_size", optics, &nflux)) return rc;
+  if (int rc = optics_query("optics_num_wavenumbers", optics, &nw)) return rc;
   return call_status(
       "shortwave_fluxes",
       Py_BuildValue("(LddNNdLNN)", (long long)optics, mu_dir, mu_dif,
@@ -408,7 +444,7 @@ int grt_shortwave_fluxes(grt_handle optics, double mu_dir, double mu_dif,
 }
 
 int grt_destroy(grt_handle h) {
-  if (!interpreter_ready()) return 1;
+  if (!interpreter_ready()) return GRT_SENTINEL_ERR;
   Gil gil;
   return call_status("destroy", Py_BuildValue("(L)", (long long)h));
 }

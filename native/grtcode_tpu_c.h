@@ -20,7 +20,30 @@
 extern "C" {
 #endif
 
-#define GRT_SUCCESS 0
+/* Return codes, mirroring the reference's grtcode_return_codes
+ * (utilities/src/return_codes.h:25-40).  Python exceptions raised inside
+ * the implementation map onto these: ValueError -> GRT_VALUE_ERR,
+ * IndexError/KeyError -> GRT_RANGE_ERR, OSError family -> GRT_IO_ERR,
+ * ZeroDivisionError -> GRT_DIVBYZERO_ERR, OverflowError ->
+ * GRT_OVERFLOW_ERR, FloatingPointError -> GRT_INVALID_ERR,
+ * MemoryError -> GRT_NON_NULL_ERR, NotImplementedError ->
+ * GRT_COMPILER_ERR, device/runtime failures -> GRT_GPU_ERR, anything
+ * else -> GRT_SENTINEL_ERR.  grt_errstr() carries the message. */
+enum grt_return_codes {
+  GRT_SUCCESS = 0,
+  GRT_INVALID_ERR,
+  GRT_DIVBYZERO_ERR,
+  GRT_OVERFLOW_ERR,
+  GRT_UNDERFLOW_ERR,
+  GRT_SENTINEL_ERR,
+  GRT_NULL_ERR,
+  GRT_NON_NULL_ERR,
+  GRT_RANGE_ERR,
+  GRT_VALUE_ERR,
+  GRT_COMPILER_ERR,
+  GRT_IO_ERR,
+  GRT_GPU_ERR
+};
 
 typedef int64_t grt_handle;
 

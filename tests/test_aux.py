@@ -1,0 +1,125 @@
+"""Auxiliary subsystems (SURVEY.md §5): metrics/profiling, debug-mode
+numerical guards, segment manifest resume, combiner rebinning."""
+import os
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from grtcode_tpu.framework import Atmosphere
+from grtcode_tpu.utils.debug import debug_mode, validate_atmosphere, checked
+from grtcode_tpu.utils.metrics import Metrics, grid_points, profiler_trace
+from grtcode_tpu.utils.segments import SegmentManifest, run_segments
+from tools.combine_segments import rebin_spectral
+
+
+def test_metrics_phase_and_throughput():
+    m = Metrics()
+    with m.phase("gas_optics", points=grid_points(4, 10, 1000)) as box:
+        box["result"] = jnp.ones((4, 10)) * 2.0
+    with m.phase("gas_optics", points=grid_points(4, 10, 1000)):
+        pass
+    st = m.phases["gas_optics"]
+    assert st.calls == 2
+    assert st.points == 2 * 4 * 10 * 1000
+    assert st.seconds > 0
+    assert m.points_per_second("gas_optics") > 0
+    assert "gas_optics" in m.report()
+
+
+def test_profiler_trace_noop():
+    with profiler_trace(None):
+        pass  # None logdir must be a clean no-op
+
+
+def _tiny_atm(**over):
+    base = dict(
+        level_pressure=np.linspace(1.0, 1000.0, 11)[None],
+        level_temperature=np.linspace(210.0, 290.0, 11)[None],
+        layer_temperature=np.linspace(212.0, 288.0, 10)[None],
+        surface_temperature=[290.0],
+        ppmv={1: np.full((1, 11), 5000.0)},
+    )
+    base.update(over)
+    return Atmosphere(**base)
+
+
+def test_validate_atmosphere_accepts_good():
+    validate_atmosphere(_tiny_atm())
+
+
+def test_validate_atmosphere_range_guards():
+    """Mirrors grtcode_config.h:52-99: temperature 100-500 K, layer count
+    <= 200, probability in [0, 1]."""
+    with pytest.raises(ValueError, match="temperature"):
+        validate_atmosphere(_tiny_atm(
+            level_temperature=np.full((1, 11), 600.0)))
+    with pytest.raises(ValueError, match="layers"):
+        validate_atmosphere(_tiny_atm(
+            level_pressure=np.linspace(1.0, 1000.0, 250)[None],
+            level_temperature=np.full((1, 250), 250.0),
+            layer_temperature=np.full((1, 249), 250.0),
+            ppmv={1: np.full((1, 250), 5000.0)}))
+    with pytest.raises(ValueError, match="cloud_fraction"):
+        validate_atmosphere(_tiny_atm(
+            cloud_fraction=np.full((1, 10), 1.5),
+            liquid_water_content=np.zeros((1, 10)),
+            ice_water_content=np.zeros((1, 10)),
+            layer_thickness=np.full((1, 10), 100.0),
+            clear=False))
+
+
+def test_debug_mode_traps_nan():
+    @jax.jit
+    def bad(x):
+        return jnp.log(x)  # log(-1) -> NaN
+
+    with pytest.raises(FloatingPointError):
+        with debug_mode():
+            jax.block_until_ready(bad(jnp.asarray(-1.0)))
+    # Config restored: NaNs flow silently again outside the context.
+    assert np.isnan(np.asarray(bad(jnp.asarray(-1.0))))
+
+
+def test_checked_guard():
+    from jax.experimental import checkify
+
+    def f(x):
+        checkify.check(jnp.all(x > 0), "x must be positive")
+        return jnp.sqrt(x)
+
+    err, val = checked(f)(jnp.asarray(4.0))
+    err.throw()
+    assert float(val) == 2.0
+    err, _ = checked(f)(jnp.asarray(-4.0))
+    with pytest.raises(Exception, match="positive"):
+        err.throw()
+
+
+def test_segment_manifest_resume(tmp_path):
+    man = SegmentManifest(str(tmp_path))
+    segs = {f"lon{i}": {"x": i} for i in range(4)}
+    ran = run_segments(man, segs, lambda sid, a: tmp_path / f"{sid}.nc")
+    assert ran == list(segs)
+    assert man.pending(list(segs)) == []
+    # Invalidate one -> only that one reruns.
+    man.clear("lon2")
+    ran2 = run_segments(man, segs, lambda sid, a: tmp_path / f"{sid}.nc")
+    assert ran2 == ["lon2"]
+    rec = man.record("lon2")
+    assert rec["segment"] == "lon2" and rec["finished_at"] > 0
+
+
+def test_rebin_spectral_matches_reference_combiner():
+    """coarsen(w=10).sum()/10 over the trailing spectral axis
+    (GRTworkflow/combiner.py:40-60)."""
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(2, 3, 4, 5, 23))
+    out = rebin_spectral(x, 10)
+    assert out.shape == (2, 3, 4, 5, 2)
+    np.testing.assert_allclose(out[..., 0], x[..., :10].mean(-1))
+    np.testing.assert_allclose(out[..., 1], x[..., 10:20].mean(-1))

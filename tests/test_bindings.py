@@ -54,9 +54,10 @@ def test_device_selection(lib):
     from grtcode_tpu.bindings import capi_impl
     assert capi_impl._default_device is not None
     assert capi_impl._default_device.platform == "cpu"
-    # Out-of-range id fails with a message rather than silently succeeding.
+    # Out-of-range id fails with the reference's range code
+    # (GRTCODE_RANGE_ERR == 8, return_codes.h:25-40) and a message.
     bad = ctypes.c_int64()
-    assert lib.grt_create_device(ctypes.c_int(512), ctypes.byref(bad)) != 0
+    assert lib.grt_create_device(ctypes.c_int(512), ctypes.byref(bad)) == 8
     assert b"out of range" in lib.grt_errstr()
 
 

@@ -130,3 +130,68 @@ def test_allsky_driver_tier():
     assert rsut_af > rsut_csaf            # clouds reflect SW
     assert rlds_af > rlds_csaf            # clouds emit LW downward
     assert rsus_csaf > 0
+
+
+# -- Hu & Stamnes legacy liquid optics (liquid_cloud_optics.c:12-104) --------
+
+def _hu_stamnes_fixture():
+    from grtcode_tpu.clouds import HuStamnesLiquidOptics
+    rng = np.random.default_rng(7)
+    nbins, nbands = 4, 3
+    radii = np.array([2.5, 10.0, 20.0, 40.0, 60.0])
+    band_lims = np.array([[1.0, 1000.0, 2000.0], [1000.0, 2000.0, 3000.0]])
+    a = rng.uniform(0.1, 2.0, (3, nbins, nbands))
+    b = rng.uniform(-1.5, -0.2, (3, nbins, nbands))
+    c = rng.uniform(0.0, 0.1, (3, nbins, nbands))
+    return HuStamnesLiquidOptics.from_arrays(radii, band_lims, a, b, c), \
+        (radii, a, b, c)
+
+
+def _hu_stamnes_scalar(radii, a, b, c, wc, r, band):
+    """Direct transcription of the reference per-scalar loop semantics
+    (liquid_cloud_optics.c:18-30) for golden comparison."""
+    r = min(max(r, radii[0]), radii[-1])
+    i = 1
+    while i < len(radii) - 1:
+        if radii[i] > r:
+            break
+        i += 1
+    i -= 1
+    ext = wc * 1e-3 * (a[0, i, band] * r ** b[0, i, band] + c[0, i, band])
+    ssa = 1.0 - (a[1, i, band] * r ** b[1, i, band] + c[1, i, band])
+    g = a[2, i, band] * r ** b[2, i, band] + c[2, i, band]
+    return ext, ssa, g
+
+
+def test_hu_stamnes_matches_reference_semantics():
+    hs, (radii, a, b, c) = _hu_stamnes_fixture()
+    wcs = np.array([0.05, 0.3, 1.2, 0.7])
+    rads = np.array([1.0, 12.0, 35.0, 80.0])   # incl. out-of-range clamps
+    ext, ssa, g = hs.evaluate(jnp.asarray(wcs), jnp.asarray(rads))
+    for k in range(len(wcs)):
+        for band in range(3):
+            e0, s0, g0 = _hu_stamnes_scalar(radii, a, b, c, wcs[k], rads[k],
+                                            band)
+            np.testing.assert_allclose(float(ext[k, band]), e0, rtol=1e-5)
+            np.testing.assert_allclose(float(ssa[k, band]), s0, rtol=1e-5)
+            np.testing.assert_allclose(float(g[k, band]), g0, rtol=1e-5)
+
+
+def test_hu_stamnes_plugs_into_cloud_lib():
+    """HuStamnesLiquidOptics satisfies the CloudOpticsLib liquid contract."""
+    hs, _ = _hu_stamnes_fixture()
+    ice = synthetic_pade_table()
+    lib = CloudOpticsLib(liquid=hs, ice=ice)
+    grid = SpectralGrid(500.0, 1500.0, 10.0)
+    key = jax.random.PRNGKey(0)
+    nlay = 6
+    out = lib.column_optics(
+        key, cloud_fraction=jnp.full(nlay, 0.9),
+        lwc=jnp.full(nlay, 0.2), iwc=jnp.full(nlay, 0.05),
+        t_lay=jnp.linspace(220.0, 280.0, nlay),
+        layer_pressure_mb=jnp.linspace(300.0, 900.0, nlay),
+        layer_thickness=jnp.full(nlay, 500.0), grids=(grid,))
+    (liq, ice_o), = out
+    assert liq.tau.shape == (nlay, grid.n)
+    assert np.all(np.asarray(liq.tau) >= 0.0)
+    assert np.all(np.isfinite(np.asarray(liq.omega)))

@@ -7,17 +7,30 @@ global attributes (era5.c:156-159) and this tool assembles the global
 domain.  In multi-host mesh runs the sharded writer makes this
 unnecessary; it exists for parity with the segment workflow.
 
-Usage: python tools/combine_segments.py out.nc seg1.nc seg2.nc ...
+Usage: python tools/combine_segments.py [--rebin N] out.nc seg1.nc seg2.nc ...
+
+``--rebin N`` additionally coarsens any trailing spectral axis of 4-D+
+variables by N (mean over bins, matching the reference combiner's
+`coarsen(...).sum()/N`, GRTworkflow/combiner.py:40-60) — e.g. N=10 turns
+0.1 cm-1 spectrally-resolved output into 1 cm-1 bins.
 """
 from __future__ import annotations
 
-import sys
+import argparse
 
 import h5py
 import numpy as np
 
 
-def combine(segment_paths, out_path):
+def rebin_spectral(data: np.ndarray, factor: int) -> np.ndarray:
+    """Mean over blocks of `factor` along the last axis, trimming the
+    remainder (xarray coarsen boundary='trim' + sum()/factor)."""
+    n = data.shape[-1] // factor * factor
+    trimmed = data[..., :n]
+    return trimmed.reshape(*trimmed.shape[:-1], n // factor, factor).mean(-1)
+
+
+def combine(segment_paths, out_path, rebin: int | None = None):
     segs = []
     for p in segment_paths:
         with h5py.File(p, "r") as f:
@@ -39,6 +52,8 @@ def combine(segment_paths, out_path):
             for s in segs:
                 data[:, :, s["lon_start"]:s["lon_stop"] + 1] = \
                     s["vars"][name]
+            if rebin and data.ndim > 4:  # (time, lat, lon, level, wavenumber)
+                data = rebin_spectral(data, rebin)
             out.create_dataset(name, data=data)
         for s in segs:
             seen[s["lon_start"]:s["lon_stop"] + 1] = True
@@ -48,5 +63,10 @@ def combine(segment_paths, out_path):
 
 
 if __name__ == "__main__":
-    combine(sys.argv[2:], sys.argv[1])
-    print(f"wrote {sys.argv[1]}")
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--rebin", type=int, default=None)
+    ap.add_argument("out")
+    ap.add_argument("segments", nargs="+")
+    a = ap.parse_args()
+    combine(a.segments, a.out, rebin=a.rebin)
+    print(f"wrote {a.out}")

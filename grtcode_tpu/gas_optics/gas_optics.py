@@ -55,8 +55,9 @@ class GasOptics:
     molecules: dict = dataclasses.field(default_factory=dict)  # id -> GridLines
     tiles: dict = dataclasses.field(default_factory=dict)      # id -> LineTiles
     near_steps: dict = dataclasses.field(default_factory=dict)  # id -> int
+    near_hw: dict = dataclasses.field(default_factory=dict)    # id -> int
     point_ranges: dict = dataclasses.field(default_factory=dict)  # id -> PointRanges
-    chunk_ranges: dict = dataclasses.field(default_factory=dict)  # id -> (lo, nchunks, lpad)
+    chunk_ranges: dict = dataclasses.field(default_factory=dict)  # id -> (lo, nchunks, cnl, cnh, lpad)
     cfcs: dict = dataclasses.field(default_factory=dict)       # id -> table
     cias: list = dataclasses.field(default_factory=list)       # (id1, id2, table)
 
@@ -108,16 +109,19 @@ class GasOptics:
                 -(-bound.num_lines // self.line_chunk) * self.line_chunk))
         self.molecules[catalog.mol_id] = padded
         fsteps = self._fsteps
+        margin = lines_mod.shift_margin(padded, self.grid.dw)
         self.tiles[catalog.mol_id] = lines_mod.build_tiles(
             padded, self.grid.n, fsteps, tile=self.tile,
-            lane_multiple=self.tile_lchunk)
+            shift_margin=margin, lane_multiple=self.tile_lchunk)
         near = min(lines_mod.near_core_halfwidth(padded, self.grid.dw),
                    fsteps)
         self.near_steps[catalog.mol_id] = near
+        self.near_hw[catalog.mol_id] = near + margin
         self.point_ranges[catalog.mol_id] = lines_mod.build_point_ranges(
-            padded, self.grid.n, near)
+            padded, self.grid.n, near, shift_margin=margin)
         self.chunk_ranges[catalog.mol_id] = pk.build_chunk_ranges(
-            padded.c0, self.grid.n, fsteps, self.tile, self.pallas_ch)
+            padded.c0, self.grid.n, fsteps, self.tile, self.pallas_ch,
+            shift_margin=margin, near_hw=near + margin)
 
     def add_cfc(self, cfc_id, path: str):
         table = CrossSectionTable.from_file(int(cfc_id), path, self.grid)
@@ -188,6 +192,13 @@ class GasOptics:
             psavg, ns = psavg2.reshape(rows), ns2.reshape(rows)
             prep = lines_mod.prepare(bound, self.grid, pavg, tavg, psavg,
                                      tips=self.tips)
+            # Materialize the (rows, L) prep arrays: without a barrier XLA
+            # fuses the prep math (exp/pow per line) into the near-core
+            # pass's gathers, recomputing it per (grid point, k) — a ~100x
+            # slowdown measured on TPU v5e.
+            prep = lines_mod.PreparedLines(*jax.lax.optimization_barrier(
+                (prep.center_idx, prep.center_frac, prep.strength,
+                 prep.lorentz, prep.doppler)))
             if self.method == "tiled":
                 near = self.near_steps[mol_id]
                 # Split accumulation: cheap far-wing pass (regions 0/1
@@ -197,13 +208,15 @@ class GasOptics:
                 # always satisfies |x| >= 12.81.
                 # NOTE: block_start must be a multiple of self.tile.
                 if self._use_pallas():
-                    lo, nchunks, lpad = self.chunk_ranges[mol_id]
-                    tau = pk.accumulate_far_pallas(
-                        prep, ns, (lo, nchunks), num_wpoints=nw,
-                        dw=float(self.grid.dw), fsteps=self._fsteps,
-                        near=near, tile=self.tile, ch=self.pallas_ch,
-                        lpad=lpad, num_global=self.grid.n, tau0=tau,
-                        start=start,
+                    # One fused kernel covers both sides of the split.
+                    lo, nchunks, cnl, cnh, lpad = self.chunk_ranges[mol_id]
+                    tau = pk.accumulate_voigt_pallas(
+                        prep, bound.c0, ns, (lo, nchunks, cnl, cnh),
+                        num_wpoints=nw, dw=float(self.grid.dw),
+                        fsteps=self._fsteps, near=near,
+                        hw=self.near_hw[mol_id], tile=self.tile,
+                        ch=self.pallas_ch, lpad=lpad,
+                        num_global=self.grid.n, tau0=tau, start=start,
                         interpret=self.pallas == "interpret")
                 else:
                     tiles = self.tiles[mol_id]
@@ -216,14 +229,14 @@ class GasOptics:
                         lchunk=self.tile_lchunk, tau0=tau, start=start,
                         num_global=self.grid.n, exclude_within=near,
                         far_kernel=True)
-                ranges = self.point_ranges[mol_id]
-                tau = accumulate_near_pointwise(
-                    prep.center_idx, prep.center_frac, prep.strength,
-                    prep.lorentz, prep.doppler, ns,
-                    jnp.asarray(ranges.lo), jnp.asarray(ranges.hi),
-                    num_wpoints=nw, dw=float(self.grid.dw), near=near,
-                    kpad=ranges.kpad, tau0=tau, start=start,
-                    num_global=self.grid.n)
+                    ranges = self.point_ranges[mol_id]
+                    tau = accumulate_near_pointwise(
+                        prep.center_idx, prep.center_frac, prep.strength,
+                        prep.lorentz, prep.doppler, ns,
+                        jnp.asarray(ranges.lo), jnp.asarray(ranges.hi),
+                        num_wpoints=nw, dw=float(self.grid.dw), near=near,
+                        kpad=ranges.kpad, tau0=tau, start=start,
+                        num_global=self.grid.n)
             else:
                 tau = optical_depth_line_sample(
                     prep, ns, self.grid, cutoff=self.wcutoff,

@@ -128,6 +128,18 @@ class LineTiles:
 
 _X_FAR_SAFE = 13.0  # > sqrt(164): beyond every region-1 lower bound
 
+_PMAX_ATM = 1.5  # generous pressure ceiling for shift-margin sizing
+
+
+def shift_margin(lines: GridLines, dw: float) -> int:
+    """Grid-point margin covering the largest possible pressure-induced
+    center drift |d| * p (kernels.c:34-48) plus rounding, so host-built
+    tile/window tables stay valid for any physical pressure."""
+    if lines.num_lines == 0:
+        return 2
+    dmax = float(np.max(np.abs(lines.d)))
+    return max(2, int(np.ceil(dmax * _PMAX_ATM / dw)) + 1)
+
 
 def near_core_halfwidth(lines: GridLines, dw: float,
                         tmax: float = 500.0) -> int:
@@ -247,14 +259,18 @@ def prepare(lines: GridLines, grid: SpectralGrid, pavg, tavg, psavg,
     center_idx = c0[None, :] + adj.astype(jnp.int32)
     center_frac = frac - adj
 
-    # Partition-function factors per (layer, iso), then a device gather per
-    # line (calc_partition_functions, kernels.c:52-66).  jit-traceable.
+    # Partition-function factors per (layer, iso), broadcast to lines
+    # (calc_partition_functions, kernels.c:52-66).  The per-line isotopologue
+    # pick is a select-sum over the (small, static) isotopologue count: a
+    # take_along_axis gather here lowered to a ~30 ms TPU gather over the
+    # (rows, L) plane, while num_iso fused selects are sub-ms and exact.
     qinv = tips_mod.q_inverse_layers(
         tips, lines.mol_id, tavg[:, 0], lines.num_iso)
     qinv = qinv.astype(jnp.float32)                  # (nlayers, num_iso)
-    qline = jnp.take_along_axis(
-        qinv, jnp.broadcast_to(jnp.asarray(lines.iso0)[None, :],
-                               (qinv.shape[0], lines.num_lines)), axis=1)
+    iso0 = jnp.asarray(lines.iso0)[None, :]          # (1, L)
+    qline = jnp.zeros((qinv.shape[0], lines.num_lines), jnp.float32)
+    for i in range(lines.num_iso):
+        qline = qline + jnp.where(iso0 == i, qinv[:, i:i + 1], 0.0)
 
     # Temperature-corrected strengths (kernels.c:70-89; uses the *unshifted*
     # center, see launch.c:117 passing line_params.vnn).

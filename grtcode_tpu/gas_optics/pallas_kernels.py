@@ -1,23 +1,32 @@
-"""Fused Pallas TPU kernel for far-wing Voigt optical-depth accumulation.
+"""Fused Pallas TPU kernel for Voigt optical-depth accumulation.
 
 This is the TPU-native expression of the reference's hottest kernel — the
 line -> grid optical-depth scatter (gas-optics/src/kernels.c:410-465,
 cuda_kernels.c with atomicAdd).  The jnp formulation in
-:mod:`grtcode_tpu.gas_optics.optical_depth` (accumulate_tiled) is the
-numerical ground truth; this kernel computes the identical far-wing
-(Humlicek regions 0/1 + pure-Lorentz) masked accumulation with explicit
-VMEM residency and double-buffered HBM DMA:
+:mod:`grtcode_tpu.gas_optics.optical_depth` (accumulate_tiled +
+accumulate_near_pointwise) is the numerical ground truth; this kernel
+computes the identical accumulation in ONE pass with explicit VMEM
+residency and double-buffered HBM DMA:
 
   * grid = spectral tiles; tile t owns ``tile`` consecutive grid points.
   * Lines are sorted by center, so the lines reaching tile t form one
     contiguous index range [lo_t, lo_t + CH * nchunks_t) — streamed from
     HBM in CH-line chunks with two overlapping DMAs (no gather).
-  * All per-(row, line) factors that don't depend on the grid point
-    (strength x column density, Humlicek rational coefficients) are
-    precomputed once by XLA into a (NCH, lines, rows) channel stack, so
-    the inner loop is pure VPU math: ~19 ops per (line, row, point).
-  * Layout: lines on sublanes, rows (column x layer) on lanes; the output
-    is written (points, rows) and transposed once outside the kernel.
+  * **Far wings** (|grid offset from line center| > near): Humlicek
+    regions 0/1 + pure-Lorentz — ~19 VPU ops per (line, row, point).
+    All per-(row, line) factors that don't depend on the grid point are
+    precomputed once by XLA into a (NCH, lines, rows) channel stack.
+  * **Near core** (|offset| <= near): the full RFM Humlicek region
+    scheme (regions 0-4) evaluated at a static window of ``2*hw + 1``
+    offsets around each line's *unshifted* grid index c0, then placed
+    into the tile with a one-hot (lines x points) MXU matmul — the
+    TPU-native replacement for the reference's atomicAdd scatter.  Only
+    the few chunks whose line centers fall inside the tile run this
+    branch (host-precomputed chunk sub-ranges).  hw = near + the
+    pressure-shift margin, so the |g - cidx| <= near mask (cidx = c0 +
+    per-row rounding of the shifted center) is always covered.
+  * Layout: lines on sublanes, rows (column x layer) on lanes; the
+    output is written (points, rows) and transposed once outside.
 
 Rows are the flattened (batch, layer) axis — batching columns makes the
 kernel denser instead of replaying it under vmap.
@@ -36,15 +45,23 @@ from .. import constants
 from .hitran import STRENGTH_SCALE
 
 _PI = 3.14159265358979323846
+_RSQRPI = 0.56418958354775628694  # 1/sqrt(pi)
+
+# 6-term CPF expansion coefficients (RFM_voigt.c:156-161).
+_C6 = (1.0117281, -0.75197147, 0.012557727, 0.010022008, -0.00024206814,
+       0.00000050084806)
+_S6 = (1.393237, 0.23115241, -0.15535147, 0.0062183662, 0.000091908299,
+       -0.00000062752596)
+_T6 = (0.31424038, 0.94778839, 1.5976826, 2.2795071, 3.0206370, 3.8897249)
 
 # Channel indices in the (NCH, L, R) stack.
-NCH = 9
-(CH_CIDX, CH_FRAC, CH_RW, CH_SNUM0, CH_YQ, CH_XLIM0, CH_A0, CH_D0,
- CH_D2) = range(NCH)
+NCH = 10
+(CH_C0, CH_FTOT, CH_RW, CH_SNUM0, CH_YQ, CH_XLIM0, CH_A0, CH_D0,
+ CH_D2, CH_Y) = range(NCH)
 
 # Per-channel pad values keeping padded lines inert AND division-safe
-# (cidx = -1e9 fails the |delta| <= fsteps mask; denominators stay >= 1).
-_PAD_VALS = (-1e9, 0.0, 1.0, 0.0, 1.0, -1.0, 1.0, 1.0, 1.0)
+# (c0 = -1e9 fails every mask; denominators stay >= 1).
+_PAD_VALS = (-1e9, 0.0, 1.0, 0.0, 1.0, -1.0, 1.0, 1.0, 1.0, 1.0)
 
 LANE = 128
 SUBLANE = 8
@@ -55,16 +72,24 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def far_channels(center_idx, center_frac, strength, lorentz, doppler, ns,
-                 *, dw: float, num_global: int, lpad: int, rpad: int):
+def far_channels(prep, c0, ns, *, dw: float, num_global: int, lpad: int,
+                 rpad: int):
     """Precompute the (NCH, lpad, rpad) channel stack (XLA, fused).
 
-    Inputs are the PreparedLines arrays shaped (rows, L) plus the per-row
-    species column density ``ns`` (rows,).  Channel math mirrors
-    :func:`grtcode_tpu.gas_optics.voigt.voigt_far_wing` exactly: Humlicek
-    regions 0/1 with the pure-Lorentz limit folded in by forcing region 0
-    (xlim0 = -1) and substituting the unclamped y.
+    Args:
+      prep: PreparedLines with (rows, L) arrays.
+      c0: (L,) int32 unshifted nearest grid index (GridLines.c0).
+      ns: (rows,) species column density.
+
+    Channel math mirrors :func:`grtcode_tpu.gas_optics.voigt.voigt_far_wing`
+    exactly: Humlicek regions 0/1 with the pure-Lorentz limit folded in by
+    forcing region 0 (xlim0 = -1) and substituting the unclamped y.  The
+    near-core branch additionally uses the clamped y (CH_Y) and the
+    unrounded center split (CH_C0 global index + CH_FTOT fractional
+    offset, grid units).
     """
+    center_idx, center_frac = prep.center_idx, prep.center_frac
+    strength, lorentz, doppler = prep.strength, prep.lorentz, prep.doppler
     rows, L = strength.shape
     s = strength * (jnp.asarray(ns, jnp.float32) / STRENGTH_SCALE)[:, None]
     repwid = jnp.float32(constants.SQRT_LN2) / doppler
@@ -80,10 +105,14 @@ def far_channels(center_idx, center_frac, strength, lorentz, doppler, ns,
     d0 = a0 * a0
     d2 = yq + yq - 1.0
     valid = (center_idx >= 0) & (center_idx < num_global)
-    cidx_f = jnp.where(valid, center_idx.astype(jnp.float32), -1e9)
+    c0b = jnp.broadcast_to(jnp.asarray(c0, jnp.int32)[None, :], (rows, L))
+    c0_f = jnp.where(valid, c0b.astype(jnp.float32), -1e9)
+    # Unrounded shifted center, relative to c0 (grid units): the rounding
+    # adjustment adj = center_idx - c0 is a small integer, exact in f32.
+    ftot = center_frac + (center_idx - c0b).astype(jnp.float32)
     rw = jnp.float32(dw) * repwid
 
-    chans = [cidx_f, center_frac, rw, snum0, yq_ch, xlim0, a0, d0, d2]
+    chans = [c0_f, ftot, rw, snum0, yq_ch, xlim0, a0, d0, d2, y]
     out = []
     for ch, pad_val in zip(chans, _PAD_VALS):
         ch = jnp.pad(ch, ((0, rpad - rows), (0, lpad - L)),
@@ -92,13 +121,105 @@ def far_channels(center_idx, center_frac, strength, lorentz, doppler, ns,
     return jnp.stack(out)                      # (NCH, lpad, rpad)
 
 
-def _far_kernel(lo_ref, nchunks_ref, start_ref, params, out_ref, buf, sems,
-                *, tile: int, ch: int, fsteps: int, near: int,
-                rblock: int):
+def _humlicek_full(xi, xq, y, yq, a0, d0, d2, xlim0):
+    """Full RFM Humlicek region scheme K(x, y) on (ch, rblock) arrays.
+
+    Matches grtcode_tpu.gas_optics.voigt.humlicek_k (RFM_voigt.c:108-277)
+    for y < 70.55; callers handle the pure-Lorentz limit separately (the
+    xlim0 = -1 substitution already forces those lanes to region 0).
+    """
+    abx = jnp.abs(xi)
+    xlim1 = jnp.where(y >= 8.425, 0.0,
+                      jnp.sqrt(jnp.maximum(164.0 - y * (4.3 + y * 1.8),
+                                           0.0)))
+    xlim2 = 6.8 - y
+    xlim3 = 2.4 * y
+    xlim4 = 18.1 * y + 1.65
+    tiny_y = y <= 0.000001
+    xlim0_s = jnp.sqrt(jnp.maximum(xlim0, 0.0))
+    xlim1 = jnp.where(tiny_y, xlim0_s, xlim1)
+    xlim2 = jnp.where(tiny_y, xlim0_s, xlim2)
+
+    yrrtpi = y * _RSQRPI
+    k0 = yrrtpi / (xq + yq)
+    k1 = (_RSQRPI / (d0 + xq * (d2 + xq))) * y * (a0 + xq)
+
+    h0 = 0.5625 + yq * (4.5 + yq * (10.5 + yq * (6.0 + yq)))
+    h2 = -4.5 + yq * (9.0 + yq * (6.0 + yq * 4.0))
+    h4 = 10.5 - yq * (6.0 - yq * 6.0)
+    h6 = -6.0 + yq * 4.0
+    e0 = 1.875 + yq * (8.25 + yq * (5.5 + yq))
+    e2 = 5.25 + yq * (1.0 + yq * 3.0)
+    e4 = 0.75 * h6
+    k2 = (_RSQRPI / (h0 + xq * (h2 + xq * (h4 + xq * (h6 + xq))))) * \
+        y * (e0 + xq * (e2 + xq * (e4 + xq)))
+
+    z0 = 272.1014 + y * (1280.829 + y * (2802.870 + y * (3764.966
+         + y * (3447.629 + y * (2256.981 + y * (1074.409 + y * (369.1989
+         + y * (88.26741 + y * (13.39880 + y)))))))))
+    z2 = 211.678 + y * (902.3066 + y * (1758.336 + y * (2037.310
+         + y * (1549.675 + y * (793.4273 + y * (266.2987
+         + y * (53.59518 + y * 5.0)))))))
+    z4 = 78.86585 + y * (308.1852 + y * (497.3014 + y * (479.2576
+         + y * (269.2916 + y * (80.39278 + y * 10.0)))))
+    z6 = 22.03523 + y * (55.02933 + y * (92.75679 + y * (53.59518
+         + y * 10.0)))
+    z8 = 1.496460 + y * (13.39880 + y * 5.0)
+    p0 = 153.5168 + y * (549.3954 + y * (919.4955 + y * (946.8970
+         + y * (662.8097 + y * (328.2151 + y * (115.3772 + y * (27.93941
+         + y * (4.264678 + y * 0.3183291))))))))
+    p2 = -34.16955 + y * (-1.322256 + y * (124.5975 + y * (189.7730
+         + y * (139.4665 + y * (56.81652 + y * (12.79458
+         + y * 1.2733163))))))
+    p4 = 2.584042 + y * (10.46332 + y * (24.01655 + y * (29.81482
+         + y * (12.79568 + y * 1.9099744))))
+    p6 = -0.07272979 + y * (0.9377051 + y * (4.266322 + y * 1.273316))
+    p8 = 0.0005480304 + y * 0.3183291
+    k3 = (1.7724538 / (z0 + xq * (z2 + xq * (z4 + xq * (z6
+          + xq * (z8 + xq)))))) * \
+        (p0 + xq * (p2 + xq * (p4 + xq * (p6 + xq * p8))))
+
+    ypy0 = y + 1.5
+    ypy0q = ypy0 * ypy0
+    k4a = jnp.zeros_like(xi)
+    k4b = jnp.zeros_like(xi)
+    yf = y + 3.0
+    for j in range(6):
+        d = xi - _T6[j]
+        mq = d * d
+        mf = 1.0 / (mq + ypy0q)
+        xm = mf * d
+        ym = mf * ypy0
+        dp = xi + _T6[j]
+        pq = dp * dp
+        pf = 1.0 / (pq + ypy0q)
+        xp = pf * dp
+        yp = pf * ypy0
+        k4a = k4a + _C6[j] * (ym + yp) - _S6[j] * (xm - xp)
+        k4b = k4b + (
+            (_C6[j] * (mq * mf - 1.5 * ym) + _S6[j] * yf * xm) / (mq + 2.25)
+            + (_C6[j] * (pq * pf - 1.5 * yp) - _S6[j] * yf * xp) / (pq + 2.25)
+        )
+    k4b = y * k4b + jnp.exp(-xq)
+    k4 = jnp.where(abx <= xlim4, k4a, k4b)
+
+    return jnp.where(
+        abx >= xlim0_s, k0,
+        jnp.where(abx >= xlim1, k1,
+                  jnp.where(abx >= xlim2, k2,
+                            jnp.where(abx < xlim3, k3, k4))))
+
+
+def _voigt_kernel(lo_ref, nchunks_ref, cnl_ref, cnh_ref, start_ref, params,
+                  out_ref, buf, sems, *, tile: int, ch: int, fsteps: int,
+                  near: int, hw: int, rblock: int, include_near: bool,
+                  num_global: int):
     t = pl.program_id(0)
     rb = pl.program_id(1)
     lo = lo_ref[t]
     nchunks = nchunks_ref[t]
+    cnl = cnl_ref[t]
+    cnh = cnh_ref[t]
     g0 = (start_ref[0] + t * tile).astype(jnp.float32)
 
     out_ref[:] = jnp.zeros_like(out_ref)
@@ -128,8 +249,8 @@ def _far_kernel(lo_ref, nchunks_ref, start_ref, params, out_ref, buf, sems,
 
         get_dma(slot, c).wait()
 
-        cidx = buf[slot, CH_CIDX]              # (ch, rpad)
-        frac = buf[slot, CH_FRAC]
+        c0 = buf[slot, CH_C0]                  # (ch, rblock)
+        ftot = buf[slot, CH_FTOT]
         rw = buf[slot, CH_RW]
         snum0 = buf[slot, CH_SNUM0]
         yq = buf[slot, CH_YQ]
@@ -138,7 +259,14 @@ def _far_kernel(lo_ref, nchunks_ref, start_ref, params, out_ref, buf, sems,
         d0 = buf[slot, CH_D0]
         d2 = buf[slot, CH_D2]
 
-        # Points are processed PUNROLL at a time so the 9 channel reads
+        # Per-row rounded center (kernels.c line_sample fcenterid) — the
+        # pressure shift can round differently per row.
+        adj = jnp.floor(ftot + 0.5)
+        cidx = c0 + adj
+        frac = ftot - adj
+
+        # --- Far wings: regions 0/1 over the whole tile. ----------------
+        # Points are processed PUNROLL at a time so the channel reads
         # from VMEM amortize over PUNROLL x the compute.
         def point_body(jj, _):
             j4 = jj * PUNROLL
@@ -158,11 +286,50 @@ def _far_kernel(lo_ref, nchunks_ref, start_ref, params, out_ref, buf, sems,
                 r = r * (2.0 - den * r)
                 r = r * (2.0 - den * r)
                 contrib = jnp.where(m, num * r, 0.0)
-                row = jnp.sum(contrib, axis=0, keepdims=True)  # (1, rpad)
+                row = jnp.sum(contrib, axis=0, keepdims=True)  # (1, rblock)
                 out_ref[pl.ds(j, 1), :] += row
             return 0
 
         jax.lax.fori_loop(0, tile // PUNROLL, point_body, 0)
+
+        # --- Near core: full Humlicek at 2*hw+1 offsets around c0, placed
+        # with a one-hot MXU matmul (only chunks with centers in-tile). --
+        if include_near:
+            @pl.when((c >= cnl) & (c < cnh))
+            def _():
+                y = buf[slot, CH_Y]
+                lor = xlim0 < 0.0
+                # snum0 = s*RSQRPI^2*repwid*y for non-Lorentz lines, so the
+                # full-Voigt prefactor s*RSQRPI*repwid = snum0/(RSQRPI*y).
+                sfac = snum0 / (jnp.float32(_RSQRPI) * jnp.maximum(y, 1e-30))
+                pos = c0 - g0                      # (ch, rblock), row-const
+                # Mosaic only supports integer iota; cast after.
+                iota_t = jax.lax.broadcasted_iota(
+                    jnp.int32, (ch, tile), 1).astype(jnp.float32)
+                valid_line = c0 > -1e8
+                acc = jnp.zeros((tile, rblock), jnp.float32)
+                for o in range(2 * hw + 1):
+                    off = jnp.float32(o - hw)
+                    # g - cidx = off - adj; in-window, near-core, and
+                    # global-bounds mask (the line_sample kernel clamps
+                    # e = min(center + fsteps, n - 1), kernels.c:433-436).
+                    m = (jnp.abs(off - adj) <= nr) & valid_line & \
+                        (c0 + off < jnp.float32(num_global))
+                    xi = (off - ftot) * rw
+                    xq = xi * xi
+                    k_full = _humlicek_full(xi, xq, y, yq, a0, d0, d2,
+                                            xlim0)
+                    k_lor = snum0 / (xq + yq)      # exact Lorentz lanes
+                    contrib = jnp.where(lor, k_lor, sfac * k_full)
+                    contrib = jnp.where(m, contrib, 0.0)  # (ch, rblock)
+                    onehot = jnp.where(pos[:, :1] + off == iota_t, 1.0, 0.0)
+                    # HIGHEST: the MXU's default bf16 passes would round
+                    # the near-core (peak) tau values to ~1e-3 relative.
+                    acc = acc + jax.lax.dot_general(
+                        onehot, contrib, (((0,), (0,)), ((), ())),
+                        precision=jax.lax.Precision.HIGHEST,
+                        preferred_element_type=jnp.float32)
+                out_ref[:] += acc
         return 0
 
     jax.lax.fori_loop(0, nchunks, chunk_body, 0)
@@ -170,23 +337,28 @@ def _far_kernel(lo_ref, nchunks_ref, start_ref, params, out_ref, buf, sems,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("tile", "ch", "fsteps", "near", "ntiles_block", "rpad",
-                     "rblock", "interpret"))
-def far_wing_pallas(channels, lo, nchunks, start, *, tile: int, ch: int,
-                    fsteps: int, near: int, ntiles_block: int, rpad: int,
-                    rblock: int | None = None, interpret: bool = False):
-    """Run the far-wing kernel over ``ntiles_block`` spectral tiles.
+    static_argnames=("tile", "ch", "fsteps", "near", "hw", "ntiles_block",
+                     "rpad", "rblock", "include_near", "num_global",
+                     "interpret"))
+def voigt_pallas(channels, lo, nchunks, cnl, cnh, start, *, tile: int,
+                 ch: int, fsteps: int, near: int, hw: int,
+                 ntiles_block: int, rpad: int, num_global: int,
+                 rblock: int | None = None, include_near: bool = True,
+                 interpret: bool = False):
+    """Run the fused Voigt kernel over ``ntiles_block`` spectral tiles.
 
     Args:
       channels: (NCH, lpad, rpad) from :func:`far_channels`.
       lo / nchunks: (ntiles_block,) int32 per-tile line-range start
         (CH-aligned into lpad) and number of CH-line chunks.
+      cnl / cnh: (ntiles_block,) int32 sub-range [cnl, cnh) of chunk
+        indices whose lines' centers can land inside the tile (the
+        near-core branch runs only for those).
       start: scalar int32 global grid index of the block's first point.
-      tile / ch / fsteps / near: static geometry (grid points per tile,
-        lines per DMA chunk, half-window, near-core exclusion radius).
+      tile / ch / fsteps / near / hw: static geometry.
 
     Returns (ntiles_block * tile, rpad) float32 — tau transposed
-    (points, rows); contributions satisfy near < |g - center_idx| <= fsteps.
+    (points, rows).
     """
     # Rows split into rblock-wide grid steps so VMEM stays bounded for
     # arbitrarily large column batches.
@@ -194,7 +366,7 @@ def far_wing_pallas(channels, lo, nchunks, start, *, tile: int, ch: int,
         rblock = min(rpad, 512)
     nrb = -(-rpad // rblock)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=5,
         grid=(ntiles_block, nrb),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((tile, rblock), lambda t, rb, *_: (t, rb),
@@ -204,8 +376,10 @@ def far_wing_pallas(channels, lo, nchunks, start, *, tile: int, ch: int,
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
-    kernel = functools.partial(_far_kernel, tile=tile, ch=ch, fsteps=fsteps,
-                               near=near, rblock=rblock)
+    kernel = functools.partial(_voigt_kernel, tile=tile, ch=ch,
+                               fsteps=fsteps, near=near, hw=hw,
+                               rblock=rblock, include_near=include_near,
+                               num_global=num_global)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -213,18 +387,23 @@ def far_wing_pallas(channels, lo, nchunks, start, *, tile: int, ch: int,
                                        jnp.float32),
         interpret=interpret,
     )(jnp.asarray(lo, jnp.int32), jnp.asarray(nchunks, jnp.int32),
+      jnp.asarray(cnl, jnp.int32), jnp.asarray(cnh, jnp.int32),
       jnp.asarray(start, jnp.int32).reshape(1), channels)
 
 
 def build_chunk_ranges(c0_sorted: np.ndarray, num_wpoints: int, fsteps: int,
-                       tile: int, ch: int, shift_margin: int = 2):
+                       tile: int, ch: int, shift_margin: int = 2,
+                       near_hw: int | None = None):
     """Host-side per-tile contiguous line ranges, CH-chunk aligned.
 
-    Returns (lo, nchunks, lpad): ``lo[t]`` is the CH-aligned start index of
-    the line range reaching tile t, ``nchunks[t]`` the number of CH-line
-    chunks covering it, and ``lpad`` the padded line-array length every
-    in-bounds DMA needs.  Mirrors lines.build_tiles bucketing
-    (kernels.c:177-304 bin structure) without materializing index lists.
+    Returns (lo, nchunks, cnl, cnh, lpad): ``lo[t]`` is the CH-aligned
+    start index of the line range reaching tile t, ``nchunks[t]`` the
+    number of CH-line chunks covering it, ``[cnl[t], cnh[t])`` the chunk
+    sub-range (relative indices) whose line centers can land inside the
+    tile (the near-core branch), and ``lpad`` the padded line-array
+    length every in-bounds DMA needs.  Mirrors lines.build_tiles
+    bucketing (kernels.c:177-304 bin structure) without materializing
+    index lists.
     """
     ntiles = -(-num_wpoints // tile)
     reach = fsteps + shift_margin
@@ -233,25 +412,41 @@ def build_chunk_ranges(c0_sorted: np.ndarray, num_wpoints: int, fsteps: int,
     hi = np.searchsorted(c0_sorted, first + (tile - 1) + reach, side="right")
     lo_al = (lo // ch) * ch
     nchunks = np.maximum(-(-(hi - lo_al) // ch), 0)
+    # Near-core chunk sub-range: lines whose c0 +- hw window overlaps the
+    # tile, i.e. c0 in [first - hw, first + tile - 1 + hw].
+    hw = (fsteps if near_hw is None else near_hw)
+    nlo = np.searchsorted(c0_sorted, first - hw, side="left")
+    nhi = np.searchsorted(c0_sorted, first + (tile - 1) + hw, side="right")
+    cnl = np.clip((nlo - lo_al) // ch, 0, nchunks)
+    cnh = np.clip(-(-(nhi - lo_al) // ch), 0, nchunks)
     # lpad covers every DMA end AND the full catalog (far_channels pads the
     # (rows, L) arrays up to lpad, so lpad >= L).
     lpad = int(_round_up(max(int((lo_al + nchunks * ch).max(initial=ch)),
                              len(c0_sorted), ch), ch))
-    return (lo_al.astype(np.int32), nchunks.astype(np.int32), lpad)
+    return (lo_al.astype(np.int32), nchunks.astype(np.int32),
+            cnl.astype(np.int32), cnh.astype(np.int32), lpad)
 
 
-def accumulate_far_pallas(prep, ns, ranges, *, num_wpoints: int, dw: float,
-                          fsteps: int, near: int, tile: int, ch: int,
-                          lpad: int, num_global: int, tau0=None, start=0,
-                          interpret: bool = False):
-    """Far-wing accumulation via the Pallas kernel; mirrors the semantics of
-    ``accumulate_tiled(..., exclude_within=near, far_kernel=True)``.
+def accumulate_voigt_pallas(prep, c0, ns, ranges, *, num_wpoints: int,
+                            dw: float, fsteps: int, near: int, hw: int,
+                            tile: int, ch: int, lpad: int, num_global: int,
+                            tau0=None, start=0, include_near: bool = True,
+                            interpret: bool = False):
+    """Fused near+far Voigt accumulation via the Pallas kernel.
+
+    Semantically equal to ``accumulate_tiled(..., exclude_within=near,
+    far_kernel=True)`` plus (when ``include_near``)
+    ``accumulate_near_pointwise(...)`` — i.e. the complete line_sample
+    optical depth (kernels.c:410-465) partitioned at |g - cidx| == near.
 
     Args:
       prep: PreparedLines with (rows, L) arrays (rows = batch x layers).
-      ns: (rows,) species column density / STRENGTH_SCALE units.
-      ranges: (lo, nchunks) global per-tile tables (np or device arrays,
-        length = ceil(num_global / tile)).
+      c0: (L,) int32 unshifted grid indices (GridLines.c0).
+      ns: (rows,) species column density.
+      ranges: (lo, nchunks, cnl, cnh) global per-tile tables from
+        :func:`build_chunk_ranges` (np or device arrays).
+      hw: static near-window half-width in grid points
+        (near + pressure-shift margin).
       start: traced global index of the output block (tile-aligned).
 
     Returns (rows, num_wpoints) accumulated into ``tau0`` if given.
@@ -260,27 +455,34 @@ def accumulate_far_pallas(prep, ns, ranges, *, num_wpoints: int, dw: float,
     rpad = _round_up(rows, LANE)
     ntiles_block = -(-num_wpoints // tile)
 
-    channels = far_channels(
-        prep.center_idx, prep.center_frac, prep.strength, prep.lorentz,
-        prep.doppler, ns, dw=dw, num_global=num_global, lpad=lpad, rpad=rpad)
+    channels = far_channels(prep, c0, ns, dw=dw, num_global=num_global,
+                            lpad=lpad, rpad=rpad)
 
-    lo_g, nchunks_g = (jnp.asarray(ranges[0]), jnp.asarray(ranges[1]))
+    lo_g, nch_g, cnl_g, cnh_g = (jnp.asarray(r) for r in ranges)
     ntiles_global = lo_g.shape[0]
     start = jnp.asarray(start, jnp.int32)
     t0 = start // tile
     # Per-block rows of the global tables (tiles past the grid end get
     # nchunks = 0 so their output stays zero).
     pad_t = max(ntiles_block - 1, 0)
-    lo_b = jax.lax.dynamic_slice_in_dim(
-        jnp.pad(lo_g, (0, pad_t)), t0, ntiles_block)
-    nchunks_b = jax.lax.dynamic_slice_in_dim(
-        jnp.pad(nchunks_g, (0, pad_t)), t0, ntiles_block)
+
+    def block_rows(a):
+        return jax.lax.dynamic_slice_in_dim(jnp.pad(a, (0, pad_t)), t0,
+                                            ntiles_block)
+
+    lo_b = block_rows(lo_g)
+    nchunks_b = block_rows(nch_g)
+    cnl_b = block_rows(cnl_g)
+    cnh_b = block_rows(cnh_g)
     tvalid = t0 + jnp.arange(ntiles_block, dtype=jnp.int32) < ntiles_global
     nchunks_b = jnp.where(tvalid, nchunks_b, 0)
 
-    tau_t = far_wing_pallas(channels, lo_b, nchunks_b, start, tile=tile,
-                            ch=ch, fsteps=fsteps, near=near,
-                            ntiles_block=ntiles_block, rpad=rpad,
-                            interpret=interpret)
+    tau_t = voigt_pallas(channels, lo_b, nchunks_b, cnl_b, cnh_b, start,
+                         tile=tile, ch=ch, fsteps=fsteps, near=near, hw=hw,
+                         ntiles_block=ntiles_block, rpad=rpad,
+                         num_global=num_global, include_near=include_near,
+                         interpret=interpret)
     tau = tau_t[:num_wpoints, :rows].T
     return tau if tau0 is None else tau0 + tau
+
+

@@ -70,13 +70,21 @@ def _jnp_far(grid, bound, prep, ns, fsteps, near, num_wpoints, start):
         exclude_within=near, far_kernel=True)
 
 
+def _pallas(grid, bound, prep, ns, fsteps, near, num_wpoints, start,
+            include_near):
+    hw = near + 2
+    lo, nchunks, cnl, cnh, lpad = pk.build_chunk_ranges(
+        bound.c0, grid.n, fsteps, TILE, CH, shift_margin=2, near_hw=hw)
+    return pk.accumulate_voigt_pallas(
+        prep, bound.c0, ns, (lo, nchunks, cnl, cnh),
+        num_wpoints=num_wpoints, dw=float(grid.dw), fsteps=fsteps,
+        near=near, hw=hw, tile=TILE, ch=CH, lpad=lpad, num_global=grid.n,
+        start=start, include_near=include_near, interpret=True)
+
+
 def _pallas_far(grid, bound, prep, ns, fsteps, near, num_wpoints, start):
-    lo, nchunks, lpad = pk.build_chunk_ranges(
-        bound.c0, grid.n, fsteps, TILE, CH)
-    return pk.accumulate_far_pallas(
-        prep, ns, (lo, nchunks), num_wpoints=num_wpoints,
-        dw=float(grid.dw), fsteps=fsteps, near=near, tile=TILE, ch=CH,
-        lpad=lpad, num_global=grid.n, start=start, interpret=True)
+    return _pallas(grid, bound, prep, ns, fsteps, near, num_wpoints, start,
+                   include_near=False)
 
 
 def test_pallas_far_matches_jnp_full(setup):
@@ -97,6 +105,45 @@ def test_pallas_far_blocks(setup):
     for start in range(0, n, block):
         got = np.asarray(_pallas_far(grid, bound, prep, ns, fsteps, near,
                                      block, start))
+        want = full[:, start:start + block]
+        pad = block - want.shape[1]
+        if pad:
+            want = np.pad(want, ((0, 0), (0, pad)))
+        np.testing.assert_allclose(got, want, rtol=2e-6, atol=1e-12)
+
+
+def test_pallas_fused_near_matches_jnp(setup):
+    """Fused near+far kernel == tiled far pass + pointwise near pass."""
+    from grtcode_tpu.gas_optics.optical_depth import \
+        accumulate_near_pointwise
+
+    grid, bound, prep, ns, fsteps, near = setup
+    nw = -(-grid.n // TILE) * TILE
+    far = _jnp_far(grid, bound, prep, ns, fsteps, near, nw, 0)
+    ranges = lines_mod.build_point_ranges(bound, grid.n, near,
+                                          shift_margin=2)
+    ref = accumulate_near_pointwise(
+        prep.center_idx, prep.center_frac, prep.strength, prep.lorentz,
+        prep.doppler, ns, jnp.asarray(ranges.lo), jnp.asarray(ranges.hi),
+        num_wpoints=nw, dw=float(grid.dw), near=near, kpad=ranges.kpad,
+        tau0=far, start=0, num_global=grid.n)
+    got = np.asarray(_pallas(grid, bound, prep, ns, fsteps, near, nw, 0,
+                             include_near=True))
+    np.testing.assert_allclose(got, np.asarray(ref), rtol=3e-6, atol=1e-12)
+    assert np.isfinite(got).all()
+    # The near core must actually contribute (it dominates peak tau).
+    assert np.abs(got).max() > 1.5 * np.abs(np.asarray(far)).max()
+
+
+def test_pallas_fused_blocks(setup):
+    grid, bound, prep, ns, fsteps, near = setup
+    n = -(-grid.n // TILE) * TILE
+    block = 4 * TILE
+    full = np.asarray(_pallas(grid, bound, prep, ns, fsteps, near, n, 0,
+                              include_near=True))
+    for start in range(0, n, block):
+        got = np.asarray(_pallas(grid, bound, prep, ns, fsteps, near,
+                                 block, start, include_near=True))
         want = full[:, start:start + block]
         pad = block - want.shape[1]
         if pad:

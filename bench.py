@@ -65,26 +65,35 @@ def main():
     w = grid.wavenumbers()
 
     @jax.jit
-    def step(p_lev, t_lev, t_surf, vmr, emis):
-        # Batched natively: the (B x layer) rows densify one Pallas far-wing
-        # kernel launch per molecule instead of a vmap replay.
-        tau = gas.optical_depth(p_lev, t_lev,
+    def step(p_lev, t_lev, t_surf, vmr, emis, chain):
+        # Batched natively: the (B x layer) rows densify one Pallas fused
+        # kernel launch per molecule instead of a vmap replay.  ``chain``
+        # carries a data dependency from the previous iteration so queued
+        # steps can't overlap, and its float() fetch below forces a real
+        # device sync (block_until_ready is unreliable through the remote
+        # TPU tunnel).
+        tau = gas.optical_depth(p_lev, t_lev + chain,
                                 {1: vmr[:, 0], 2: vmr[:, 1]})
         t_layers = 0.5 * (t_lev[:, :-1] + t_lev[:, 1:])
-        return longwave_fluxes(tau, jnp.zeros_like(tau), t_surf,
-                               t_layers, t_lev, emis, w)
+        fu, fd = longwave_fluxes(tau, jnp.zeros_like(tau), t_surf,
+                                 t_layers, t_lev, emis, w)
+        return fu, fd, fu[0, 0, 0] * 1e-30
 
     args = (p_lev, t_lev, t_surf, vmr, emis)
     t0 = time.perf_counter()
-    jax.block_until_ready(step(*args))
+    chain = jnp.float32(0.0)
+    out = step(*args, chain)
+    float(out[2])
     compile_s = time.perf_counter() - t0
     print(f"compile+first step: {compile_s:.1f}s", file=sys.stderr)
 
     iters = 3
     t0 = time.perf_counter()
+    chain = jnp.float32(0.0)
     for _ in range(iters):
-        out = step(*args)
-    jax.block_until_ready(out)
+        out = step(*args, chain)
+        chain = out[2]
+    float(chain)
     elapsed = time.perf_counter() - t0
 
     points = B * nlayers * grid.n * iters

@@ -21,6 +21,7 @@ from typing import Mapping
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .. import constants
 from ..spectral import SpectralGrid
@@ -28,6 +29,7 @@ from ..utils import curtis_godson as cg
 from . import lines as lines_mod
 from . import pallas_kernels as pk
 from . import tips as tips_mod
+from . import bins as bins_mod
 from .continua import OzoneContinuum, WaterVaporContinuum
 from .hitran import LineCatalog, parse_par_file
 from .molecules import MoleculeId
@@ -47,7 +49,19 @@ class GasOptics:
     o3_ctm: OzoneContinuum | None = None
     tips: object = None
     line_chunk: int = 1024
-    method: str = "tiled"      # "tiled" (TPU production) | "scatter"
+    # Optical-depth method (gas_optics.h:88-94 OpticalDepthMethod_t):
+    #   "tiled" / "line_sample": exact per-point sampling over the +-cutoff
+    #     window — the reference driver's production method
+    #     (framework/src/driver.c:618), here as the fused Pallas kernel
+    #     (TPU) or the jnp tile-gather (CPU).
+    #   "scatter": line_sample via scan + scatter-add (portable ground
+    #     truth).
+    #   "wavenumber_sweep": bin sweep — wings at 3 points/bin,
+    #     quadratically interpolated (kernels.c:177-304).
+    #   "line_sweep": per-line local window + binned wings
+    #     (kernels.c:306-406).
+    method: str = "tiled"
+    bin_width: float = 1.0     # [cm-1] for the bin-interpolated methods
     tile: int = 64             # spectral tile width for the tiled method
     tile_lchunk: int = 128     # lines per jnp tiled reduction step
     pallas: str = "auto"       # "auto" | "on" | "off" | "interpret"
@@ -74,6 +88,12 @@ class GasOptics:
         self.tile = min(self.tile, max(8, -(-eighth // 8) * 8))
         self.pallas_ch = min(self.pallas_ch,
                              max(8, -(-self.line_chunk // 8) * 8))
+        # ~1 cm-1 spectral bins for the bin-interpolated methods
+        # (gas_optics.c:73-81).
+        self.bins = bins_mod.create_spectral_bins(
+            self.grid.n, self.grid.w0, self.grid.dw, self.bin_width)
+        self._bin_ranges_cache = {}
+        self._raw_bounds = {}
 
     @property
     def _fsteps(self) -> int:
@@ -85,6 +105,16 @@ class GasOptics:
         if self.pallas == "off":
             return False
         return jax.default_backend() == "tpu"
+
+    def _get_bin_ranges(self, mol_id: int) -> bins_mod.BinRanges:
+        key = (mol_id, self.method)
+        if key not in self._bin_ranges_cache:
+            mode = ("bin_sweep" if self.method == "wavenumber_sweep"
+                    else "line_sweep")
+            self._bin_ranges_cache[key] = bins_mod.build_bin_ranges(
+                self._raw_bounds[mol_id], self.bins, mode=mode,
+                remote_cutoff=self.wcutoff)
+        return self._bin_ranges_cache[key]
 
     # -- registration (host side, mirrors add_molecule/add_cfc/add_cia) ----
     def add_molecule(self, mol_id, min_line_center: float | None = None,
@@ -102,6 +132,7 @@ class GasOptics:
         if catalog.mol_id in self.molecules:
             raise ValueError(f"molecule {catalog.mol_id} already added")
         bound = lines_mod.bind_to_grid(catalog, self.grid)
+        self._raw_bounds[catalog.mol_id] = bound
         # Pad to the scan chunk so recompilation doesn't depend on the exact
         # line count modulo chunk.
         padded = bound.pad_to(
@@ -186,6 +217,17 @@ class GasOptics:
 
         tau = jnp.zeros((rows, nw), jnp.float32)
 
+        bin_method = self.method in ("wavenumber_sweep", "line_sweep")
+        bins_tau = None
+        if bin_method:
+            if block_start is not None or block_size is not None:
+                raise NotImplementedError(
+                    "spectral blocks require method='tiled'/'line_sample'")
+            bins_tau = jnp.zeros((rows, self.bins.n, bins_mod.NIP),
+                                 jnp.float32)
+            bin_w_rel = ((self.bins.w - self.grid.w0)
+                         / self.grid.dw).astype(np.float32)
+
         for mol_id, bound in self.molecules.items():
             x = lev(vmr[mol_id])
             psavg2, ns2 = cg.partial_pressures_and_densities(p2, x, n2d)
@@ -199,7 +241,20 @@ class GasOptics:
             prep = lines_mod.PreparedLines(*jax.lax.optimization_barrier(
                 (prep.center_idx, prep.center_frac, prep.strength,
                  prep.lorentz, prep.doppler)))
-            if self.method == "tiled":
+            if bin_method:
+                br = self._get_bin_ranges(mol_id)
+                tau, bins_tau = bins_mod.accumulate_bins(
+                    prep.center_idx, prep.center_frac, prep.strength,
+                    prep.lorentz, prep.doppler, ns,
+                    jnp.asarray(br.local_lo), jnp.asarray(br.local_cnt),
+                    jnp.asarray(br.rem_lo), jnp.asarray(br.rem_cnt_l),
+                    jnp.asarray(br.rem_hi_start), jnp.asarray(br.rem_cnt_r),
+                    jnp.asarray(self.bins.l, jnp.int32), bin_w_rel,
+                    ppb=self.bins.ppb, nbins=self.bins.n,
+                    lmax_local=br.lmax_local, lmax_remote=br.lmax_remote,
+                    dw=float(self.grid.dw), num_wpoints=nw, tau0=tau,
+                    bins_tau0=bins_tau)
+            elif self.method in ("tiled", "line_sample"):
                 near = self.near_steps[mol_id]
                 # Split accumulation: cheap far-wing pass (regions 0/1
                 # Voigt) + a small-window near-core pass with the full
@@ -268,6 +323,16 @@ class GasOptics:
             n_sq = jnp.abs(n_sq)
             tau = tau + n_sq.reshape(rows)[:, None] * \
                 spectral(table.cross_section)[None, :]
+
+        if bin_method:
+            # Interpolate the accumulated line wings onto the fine grid
+            # after ALL absorbers (launch.c:211-218).
+            tau = bins_mod.interpolate_bins(
+                bins_tau, jnp.asarray(self.bins.l, jnp.int32), bin_w_rel,
+                ppb=self.bins.ppb, last_ppb=self.bins.last_ppb,
+                do_interp=self.bins.do_interp,
+                do_last_interp=self.bins.do_last_interp,
+                num_wpoints=nw, tau=tau)
 
         tau = tau.reshape(B, nlayers, nw)
         return tau if batched else tau[0]

@@ -133,12 +133,14 @@ _PMAX_ATM = 1.5  # generous pressure ceiling for shift-margin sizing
 
 def shift_margin(lines: GridLines, dw: float) -> int:
     """Grid-point margin covering the largest possible pressure-induced
-    center drift |d| * p (kernels.c:34-48) plus rounding, so host-built
-    tile/window tables stay valid for any physical pressure."""
+    center rounding drift: |adj| = |floor(frac0 + shift + 0.5)| <=
+    ceil(|shift| + 0.5) for |frac0| <= 0.5, with shift = d * p / dw
+    (kernels.c:34-48).  Sized for any physical pressure so host-built
+    tile/window tables stay valid."""
     if lines.num_lines == 0:
-        return 2
+        return 1
     dmax = float(np.max(np.abs(lines.d)))
-    return max(2, int(np.ceil(dmax * _PMAX_ATM / dw)) + 1)
+    return max(1, int(np.ceil(dmax * _PMAX_ATM / dw + 0.5)))
 
 
 def near_core_halfwidth(lines: GridLines, dw: float,

@@ -121,14 +121,9 @@ def far_channels(prep, c0, ns, *, dw: float, num_global: int, lpad: int,
     return jnp.stack(out)                      # (NCH, lpad, rpad)
 
 
-def _humlicek_full(xi, xq, y, yq, a0, d0, d2, xlim0):
-    """Full RFM Humlicek region scheme K(x, y) on (ch, rblock) arrays.
-
-    Matches grtcode_tpu.gas_optics.voigt.humlicek_k (RFM_voigt.c:108-277)
-    for y < 70.55; callers handle the pure-Lorentz limit separately (the
-    xlim0 = -1 substitution already forces those lanes to region 0).
-    """
-    abx = jnp.abs(xi)
+def _humlicek_y_coeffs(y, yq, xlim0):
+    """Per-line (xi-independent) Humlicek region coefficients
+    (RFM_voigt.c:108-277), hoisted out of the near-window offset loop."""
     xlim1 = jnp.where(y >= 8.425, 0.0,
                       jnp.sqrt(jnp.maximum(164.0 - y * (4.3 + y * 1.8),
                                            0.0)))
@@ -140,10 +135,6 @@ def _humlicek_full(xi, xq, y, yq, a0, d0, d2, xlim0):
     xlim1 = jnp.where(tiny_y, xlim0_s, xlim1)
     xlim2 = jnp.where(tiny_y, xlim0_s, xlim2)
 
-    yrrtpi = y * _RSQRPI
-    k0 = yrrtpi / (xq + yq)
-    k1 = (_RSQRPI / (d0 + xq * (d2 + xq))) * y * (a0 + xq)
-
     h0 = 0.5625 + yq * (4.5 + yq * (10.5 + yq * (6.0 + yq)))
     h2 = -4.5 + yq * (9.0 + yq * (6.0 + yq * 4.0))
     h4 = 10.5 - yq * (6.0 - yq * 6.0)
@@ -151,8 +142,6 @@ def _humlicek_full(xi, xq, y, yq, a0, d0, d2, xlim0):
     e0 = 1.875 + yq * (8.25 + yq * (5.5 + yq))
     e2 = 5.25 + yq * (1.0 + yq * 3.0)
     e4 = 0.75 * h6
-    k2 = (_RSQRPI / (h0 + xq * (h2 + xq * (h4 + xq * (h6 + xq))))) * \
-        y * (e0 + xq * (e2 + xq * (e4 + xq)))
 
     z0 = 272.1014 + y * (1280.829 + y * (2802.870 + y * (3764.966
          + y * (3447.629 + y * (2256.981 + y * (1074.409 + y * (369.1989
@@ -175,15 +164,35 @@ def _humlicek_full(xi, xq, y, yq, a0, d0, d2, xlim0):
          + y * (12.79568 + y * 1.9099744))))
     p6 = -0.07272979 + y * (0.9377051 + y * (4.266322 + y * 1.273316))
     p8 = 0.0005480304 + y * 0.3183291
+
+    ypy0 = y + 1.5
+    ypy0q = ypy0 * ypy0
+    yf = y + 3.0
+    return (xlim0_s, xlim1, xlim2, xlim3, xlim4, h0, h2, h4, h6, e0, e2,
+            e4, z0, z2, z4, z6, z8, p0, p2, p4, p6, p8, ypy0, ypy0q, yf)
+
+
+def _humlicek_eval(xi, xq, y, yq, a0, d0, d2, coeffs):
+    """Full RFM Humlicek region scheme K(x, y) given hoisted coefficients.
+
+    Matches grtcode_tpu.gas_optics.voigt.humlicek_k for y < 70.55; callers
+    handle the pure-Lorentz limit separately.
+    """
+    (xlim0_s, xlim1, xlim2, xlim3, xlim4, h0, h2, h4, h6, e0, e2, e4,
+     z0, z2, z4, z6, z8, p0, p2, p4, p6, p8, ypy0, ypy0q, yf) = coeffs
+    abx = jnp.abs(xi)
+
+    yrrtpi = y * _RSQRPI
+    k0 = yrrtpi / (xq + yq)
+    k1 = (_RSQRPI / (d0 + xq * (d2 + xq))) * y * (a0 + xq)
+    k2 = (_RSQRPI / (h0 + xq * (h2 + xq * (h4 + xq * (h6 + xq))))) * \
+        y * (e0 + xq * (e2 + xq * (e4 + xq)))
     k3 = (1.7724538 / (z0 + xq * (z2 + xq * (z4 + xq * (z6
           + xq * (z8 + xq)))))) * \
         (p0 + xq * (p2 + xq * (p4 + xq * (p6 + xq * p8))))
 
-    ypy0 = y + 1.5
-    ypy0q = ypy0 * ypy0
     k4a = jnp.zeros_like(xi)
     k4b = jnp.zeros_like(xi)
-    yf = y + 3.0
     for j in range(6):
         d = xi - _T6[j]
         mq = d * d
@@ -307,6 +316,7 @@ def _voigt_kernel(lo_ref, nchunks_ref, cnl_ref, cnh_ref, start_ref, params,
                 iota_t = jax.lax.broadcasted_iota(
                     jnp.int32, (ch, tile), 1).astype(jnp.float32)
                 valid_line = c0 > -1e8
+                coeffs = _humlicek_y_coeffs(y, yq, xlim0)
                 acc = jnp.zeros((tile, rblock), jnp.float32)
                 for o in range(2 * hw + 1):
                     off = jnp.float32(o - hw)
@@ -317,8 +327,8 @@ def _voigt_kernel(lo_ref, nchunks_ref, cnl_ref, cnh_ref, start_ref, params,
                         (c0 + off < jnp.float32(num_global))
                     xi = (off - ftot) * rw
                     xq = xi * xi
-                    k_full = _humlicek_full(xi, xq, y, yq, a0, d0, d2,
-                                            xlim0)
+                    k_full = _humlicek_eval(xi, xq, y, yq, a0, d0, d2,
+                                            coeffs)
                     k_lor = snum0 / (xq + yq)      # exact Lorentz lanes
                     contrib = jnp.where(lor, k_lor, sfac * k_full)
                     contrib = jnp.where(m, contrib, 0.0)  # (ch, rblock)

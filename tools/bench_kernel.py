@@ -56,22 +56,32 @@ near = gas.near_steps[mol]
 
 
 def run(include_near):
-    def f(prep, ns):
+    @jax.jit
+    def f(arrs, ns):
+        prep = lines_mod.PreparedLines(*arrs)
         return pk.accumulate_voigt_pallas(
             prep, bound.c0, ns, (lo, nchunks, cnl, cnh),
             num_wpoints=grid.n, dw=float(grid.dw), fsteps=gas._fsteps,
             near=near, hw=gas.near_hw[mol], tile=gas.tile,
             ch=gas.pallas_ch, lpad=lpad, num_global=grid.n, start=0,
             include_near=include_near)
+    @jax.jit
+    def g(arrs, ns, chain):
+        arrs = (arrs[0], arrs[1] + chain) + arrs[2:]
+        return f(arrs, ns).sum() * 1e-30
+    arrs = (prep.center_idx, prep.center_frac, prep.strength,
+            prep.lorentz, prep.doppler)
     t0 = time.perf_counter()
-    out = jax.block_until_ready(f(prep, ns))
+    s = float(g(arrs, ns, jnp.float32(0.0)))
     compile_s = time.perf_counter() - t0
-    ts = []
-    for _ in range(5):
-        t0 = time.perf_counter()
-        out = jax.block_until_ready(f(prep, ns))
-        ts.append(time.perf_counter() - t0)
-    return compile_s, statistics.median(ts), float(out.sum())
+    n = 10
+    t0 = time.perf_counter()
+    chain = jnp.float32(0.0)
+    for _ in range(n):
+        chain = g(arrs, ns, chain)
+    s = float(chain)
+    dt = (time.perf_counter() - t0) / n
+    return compile_s, dt, s
 
 
 for inc in (False, True):

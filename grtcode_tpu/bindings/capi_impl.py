@@ -49,6 +49,13 @@ def destroy(handle: int) -> int:
     return GRTCODE_SUCCESS
 
 
+def set_verbosity(level: int) -> int:
+    """grt_set_verbosity (grtcode_set_verbosity, verbosity.c:28-44)."""
+    from ..utils import verbosity as vb
+    vb.set_verbosity(int(level))
+    return GRTCODE_SUCCESS
+
+
 def _f64(buf, n=None):
     a = np.frombuffer(buf, dtype=np.float64)
     return a if n is None else a[: int(n)]

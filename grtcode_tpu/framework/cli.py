@@ -59,6 +59,10 @@ def configure(args) -> None:
     logging.basicConfig(
         level=logging.INFO if args.verbose else logging.WARNING,
         format="%(levelname)s %(name)s: %(message)s")
+    # -v maps to GRTCODE_INFO like the reference binaries
+    # (framework/src/driver.c:901-902).
+    from ..utils import verbosity as vb
+    vb.set_verbosity(vb.GRTCODE_INFO if args.verbose else vb.GRTCODE_WARN)
     if args.device is not None:
         import jax
         jax.config.update("jax_default_device",

@@ -55,6 +55,20 @@ class Optics:
     def __add__(self, other: "Optics") -> "Optics":
         return combine([self, other])
 
+    def update(self, tau=None, omega=None, g=None) -> "Optics":
+        """Replace optical properties (update_optics, optics.c:345-357).
+
+        Functional counterpart of the reference's in-place copy: returns a
+        new Optics with the given fields swapped in (shapes must match)."""
+        for name, new in (("tau", tau), ("omega", omega), ("g", g)):
+            if new is not None and jnp.shape(new) != jnp.shape(self.tau):
+                raise ValueError(
+                    f"{name} shape {jnp.shape(new)} != {jnp.shape(self.tau)}")
+        return Optics(self.tau if tau is None else jnp.asarray(tau),
+                      self.omega if omega is None else jnp.asarray(omega),
+                      self.g if g is None else jnp.asarray(g),
+                      grid=self.grid)
+
     def sample(self, dest_grid: SpectralGrid, w0: float | None = None,
                wn: float | None = None) -> "Optics":
         """Down-sample onto a coarser sub-grid (optics.c sample_optics,

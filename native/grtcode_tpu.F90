@@ -41,6 +41,7 @@ integer(kind=c_int), parameter, public :: CFC11 = 0, CFC12 = 1, CFC113 = 2, &
 integer(kind=c_int), parameter, public :: CIA_N2 = 0, CIA_O2 = 1, &
     MAX_NUM_CIAS = 2
 
+public :: f_set_verbosity
 public :: f_initialize, f_finalize, f_create_device, f_use_device, &
           f_num_devices, &
           f_create_spectral_grid, f_spectral_grid_properties, &
@@ -63,6 +64,14 @@ function f_finalize() bind(c, name="grt_finalize") result(rc)
 import c_int
 integer(kind=c_int) :: rc
 end function f_finalize
+
+  !> Verbosity: 0 = none, 1 = warnings, 2 = info (grtcode verbosity_).
+  function f_set_verbosity(level) bind(c, name="grt_set_verbosity") &
+      result(rc)
+    import :: c_int
+    integer(c_int), value, intent(in) :: level
+    integer(c_int) :: rc
+  end function f_set_verbosity
 
 !> Mirrors f_create_device (grtcode_fortran.F90:585-591); id = -1 -> host.
 function f_create_device(device_id, handle) &

@@ -215,6 +215,12 @@ int grt_finalize(void) {
 
 const char *grt_errstr(void) { return g_err; }
 
+int grt_set_verbosity(int level) {
+  if (!interpreter_ready()) return GRT_SENTINEL_ERR;
+  Gil gil;
+  return call_status("set_verbosity", Py_BuildValue("(i)", level));
+}
+
 int grt_create_device(int device_id, grt_handle *out) {
   if (!interpreter_ready()) return GRT_SENTINEL_ERR;
   Gil gil;

@@ -54,6 +54,10 @@ int grt_initialize(void);
 int grt_finalize(void);
 const char *grt_errstr(void);
 
+/* Verbosity: 0 = none, 1 = warnings, 2 = info (grtcode_set_verbosity,
+ * utilities/src/verbosity.c:28-44). */
+int grt_set_verbosity(int level);
+
 /* Device (utilities/src/device.c:26-75).  id >= 0 selects
  * jax.devices()[id]; id = -1 selects the host CPU.  The first device
  * created becomes the default placement for all compute entry points

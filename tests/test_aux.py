@@ -123,3 +123,56 @@ def test_rebin_spectral_matches_reference_combiner():
     assert out.shape == (2, 3, 4, 5, 2)
     np.testing.assert_allclose(out[..., 0], x[..., :10].mean(-1))
     np.testing.assert_allclose(out[..., 1], x[..., 10:20].mean(-1))
+
+
+def test_verbosity_levels_and_error_buffer(capsys):
+    """utilities/src/verbosity.c:28-83 equivalents."""
+    from grtcode_tpu.utils import verbosity as vb
+
+    vb.clear_error_buffer()
+    vb.set_verbosity(vb.GRTCODE_NONE)
+    vb.log_info("hidden %d", 1)
+    vb.log_warn("hidden")
+    assert capsys.readouterr().err == ""
+    vb.set_verbosity(vb.GRTCODE_WARN)
+    vb.log_warn("warned")
+    vb.log_info("hidden")
+    assert "warned" in capsys.readouterr().err
+    vb.set_verbosity(vb.GRTCODE_INFO)
+    vb.log_info("shown %s", "x")
+    assert "shown x" in capsys.readouterr().err
+
+    vb.append_to_error_buffer("first failure")
+    vb.append_to_error_buffer("second failure")
+    s = vb.errstr()
+    assert "first failure" in s and "second failure" in s
+    assert "test_aux.py" in s  # file:line backtrace context
+    # Bounded like the reference's 4 KB buffer.
+    for i in range(200):
+        vb.append_to_error_buffer("x" * 100)
+    assert len(vb.errstr()) <= 4096
+    vb.clear_error_buffer()
+    assert vb.errstr() == ""
+    import pytest
+    with pytest.raises(ValueError):
+        vb.set_verbosity(7)
+    vb.set_verbosity(vb.GRTCODE_NONE)
+
+
+def test_optics_update():
+    """update_optics (optics.c:345-357) functional equivalent."""
+    import jax.numpy as jnp
+    import numpy as np
+    import pytest
+    from grtcode_tpu.optics import Optics
+    from grtcode_tpu.spectral import SpectralGrid
+
+    grid = SpectralGrid(1.0, 2.0, 0.5)
+    o = Optics.zeros(2, grid)
+    tau2 = jnp.ones((2, grid.n))
+    o2 = o.update(tau=tau2)
+    np.testing.assert_array_equal(np.asarray(o2.tau), 1.0)
+    np.testing.assert_array_equal(np.asarray(o2.omega), 0.0)
+    assert o2.grid == grid
+    with pytest.raises(ValueError):
+        o.update(g=jnp.ones((3, grid.n)))

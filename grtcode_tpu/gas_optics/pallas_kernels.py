@@ -222,7 +222,8 @@ def _humlicek_eval(xi, xq, y, yq, a0, d0, d2, coeffs):
 def _voigt_kernel(lo_ref, nchunks_ref, cnl_ref, cnh_ref, start_ref, params,
                   out_ref, buf, sems, *, tile: int, ch: int, fsteps: int,
                   near: int, hw: int, rblock: int, include_near: bool,
-                  num_global: int):
+                  num_global: int, punroll: int = PUNROLL,
+                  newton: int = 2):
     t = pl.program_id(0)
     rb = pl.program_id(1)
     lo = lo_ref[t]
@@ -278,8 +279,8 @@ def _voigt_kernel(lo_ref, nchunks_ref, cnl_ref, cnh_ref, start_ref, params,
         # Points are processed PUNROLL at a time so the channel reads
         # from VMEM amortize over PUNROLL x the compute.
         def point_body(jj, _):
-            j4 = jj * PUNROLL
-            for k in range(PUNROLL):
+            j4 = jj * punroll
+            for k in range(punroll):
                 j = j4 + k
                 delta = (g0 + j.astype(jnp.float32)) - cidx
                 adelta = jnp.abs(delta)
@@ -292,14 +293,14 @@ def _voigt_kernel(lo_ref, nchunks_ref, cnl_ref, cnh_ref, start_ref, params,
                 # Fast reciprocal + two Newton steps: ~1 ulp of a true
                 # divide at a fraction of the VPU cost.
                 r = pl.reciprocal(den, approx=True)
-                r = r * (2.0 - den * r)
-                r = r * (2.0 - den * r)
+                for _ in range(newton):
+                    r = r * (2.0 - den * r)
                 contrib = jnp.where(m, num * r, 0.0)
                 row = jnp.sum(contrib, axis=0, keepdims=True)  # (1, rblock)
                 out_ref[pl.ds(j, 1), :] += row
             return 0
 
-        jax.lax.fori_loop(0, tile // PUNROLL, point_body, 0)
+        jax.lax.fori_loop(0, tile // punroll, point_body, 0)
 
         # --- Near core: full Humlicek at 2*hw+1 offsets around c0, placed
         # with a one-hot MXU matmul (only chunks with centers in-tile). --
@@ -349,11 +350,12 @@ def _voigt_kernel(lo_ref, nchunks_ref, cnl_ref, cnh_ref, start_ref, params,
     jax.jit,
     static_argnames=("tile", "ch", "fsteps", "near", "hw", "ntiles_block",
                      "rpad", "rblock", "include_near", "num_global",
-                     "interpret"))
+                     "punroll", "newton", "interpret"))
 def voigt_pallas(channels, lo, nchunks, cnl, cnh, start, *, tile: int,
                  ch: int, fsteps: int, near: int, hw: int,
                  ntiles_block: int, rpad: int, num_global: int,
                  rblock: int | None = None, include_near: bool = True,
+                 punroll: int = PUNROLL, newton: int = 2,
                  interpret: bool = False):
     """Run the fused Voigt kernel over ``ntiles_block`` spectral tiles.
 
@@ -389,7 +391,8 @@ def voigt_pallas(channels, lo, nchunks, cnl, cnh, start, *, tile: int,
     kernel = functools.partial(_voigt_kernel, tile=tile, ch=ch,
                                fsteps=fsteps, near=near, hw=hw,
                                rblock=rblock, include_near=include_near,
-                               num_global=num_global)
+                               num_global=num_global, punroll=punroll,
+                               newton=newton)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -441,6 +444,7 @@ def accumulate_voigt_pallas(prep, c0, ns, ranges, *, num_wpoints: int,
                             dw: float, fsteps: int, near: int, hw: int,
                             tile: int, ch: int, lpad: int, num_global: int,
                             tau0=None, start=0, include_near: bool = True,
+                            punroll: int = PUNROLL, newton: int = 2,
                             interpret: bool = False):
     """Fused near+far Voigt accumulation via the Pallas kernel.
 
@@ -491,6 +495,7 @@ def accumulate_voigt_pallas(prep, c0, ns, ranges, *, num_wpoints: int,
                          tile=tile, ch=ch, fsteps=fsteps, near=near, hw=hw,
                          ntiles_block=ntiles_block, rpad=rpad,
                          num_global=num_global, include_near=include_near,
+                         punroll=punroll, newton=newton,
                          interpret=interpret)
     tau = tau_t[:num_wpoints, :rows].T
     return tau if tau0 is None else tau0 + tau

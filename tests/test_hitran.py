@@ -56,8 +56,9 @@ def test_parse_par_file(tmp_path):
     # Strength renormalization (parse_HITRAN_file.c:372-384): divide by
     # the 296 K Boltzmann/stimulated-emission factor times 1/Q(296).
     c2, tref = constants.LINE_STRENGTH_C2, constants.TREF
-    want = 1.5e-20 / (np.exp(c2 * 100.0 / tref) *
-                      (1.0 - np.exp(c2 * 1000.123456 / tref)))
+    want = 1.5e-20 * tips.q(1, tref, 1) / (
+        np.exp(c2 * 100.0 / tref) *
+        (1.0 - np.exp(c2 * 1000.123456 / tref)))
     np.testing.assert_allclose(cat.snn[0] / STRENGTH_SCALE, want,
                                rtol=1e-12)
 
@@ -101,10 +102,26 @@ def test_cfc_cia_enums():
 
 def test_power_law_tips():
     tips = tips_mod.PowerLawTips()
-    # Linear molecule (CO2): beta = 1; nonlinear (H2O): 1.5.
-    assert tips.q(2, 2 * constants.TREF) == pytest.approx(2.0)
-    assert tips.q(1, 2 * constants.TREF) == pytest.approx(2.0 ** 1.5)
+    # Uncalibrated molecules keep the rigid-rotor betas: linear (CO) = 1,
+    # nonlinear (SO2) = 1.5; q296 defaults to 1 where unknown.
+    assert tips.q(5, 2 * constants.TREF) == pytest.approx(2.0)
+    assert tips.q(9, 2 * constants.TREF) == pytest.approx(2.0 ** 1.5)
     assert tips.q_ratio(1, constants.TREF) == pytest.approx(1.0)
+
+
+def test_tips_reference_pins():
+    """Q values the reference unit test pins at T=275.234324, iso 1
+    (gas-optics/test/test_tips2017.c:34-65) — reproduced exactly by the
+    calibrated power law at the pinned temperature."""
+    tips = tips_mod.PowerLawTips()
+    pins = {1: 156.6091754, 2: 261.25798746, 3: 3087.3115616,
+            4: 4524.7762498, 6: 528.26422608}
+    for mol, expect in pins.items():
+        assert tips.q(mol, 275.234324, 1) == pytest.approx(expect, rel=1e-9)
+    # Calibrated betas stay physically sensible (between rotational-only
+    # and strongly vibrational regimes).
+    for mol in pins:
+        assert 1.0 < tips.beta(mol) < 2.0
 
 
 def test_tabulated_tips(tmp_path):

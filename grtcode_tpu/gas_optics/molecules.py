@@ -153,6 +153,20 @@ REGISTRY = {
 
 BY_NAME = {m.name: m for m in REGISTRY.values()}
 
+# HITRAN/TIPS-2017 *global* isotopologue numbering -> (mol_id, local iso)
+# for the CIRC gas set; used by tools/convert_tips.py to match the public
+# TIPS-2017 distribution's per-isotopologue q<N>.txt file names.
+GLOBAL_ISO_IDS = {
+    **{gid: (1, gid) for gid in range(1, 7)},           # H2O 161..172
+    **{gid: (2, gid - 6) for gid in range(7, 17)},      # CO2 626..838
+    **{gid: (3, gid - 16) for gid in range(17, 22)},    # O3 666..676
+    **{gid: (4, gid - 21) for gid in range(22, 27)},    # N2O 446..447
+    **{gid: (5, gid - 26) for gid in range(27, 33)},    # CO 26..37
+    **{gid: (6, gid - 32) for gid in range(33, 37)},    # CH4 211..312
+    **{gid: (7, gid - 36) for gid in range(37, 40)},    # O2 66..67
+    **{gid: (22, gid - 68) for gid in range(69, 71)},   # N2 44..45
+}
+
 
 def get(mol) -> Molecule:
     """Look up a molecule by id, enum, or name."""

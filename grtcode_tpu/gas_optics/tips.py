@@ -90,9 +90,15 @@ class PowerLawTips:
 
 
 class TabulatedTips:
-    """Temperature-interpolated TIPS tables loaded from an npz file."""
+    """Temperature-interpolated TIPS tables loaded from an npz file.
 
-    def __init__(self, path: str):
+    Molecules absent from the tables delegate to a :class:`PowerLawTips`
+    fallback; isotopologues absent from a tabulated molecule use its
+    principal-isotopologue table (T-dependence is nearly iso-independent
+    and the absolute normalization cancels in line strengths).
+    """
+
+    def __init__(self, path: str, fallback: "PowerLawTips | None" = None):
         data = np.load(path)
         self._tgrid = np.asarray(data["T"], dtype=np.float64)
         self._tables = {}
@@ -104,31 +110,55 @@ class TabulatedTips:
                 )
         if not self._tables:
             raise ValueError(f"no Q_<mol>_<iso> tables found in {path}")
+        self.fallback = fallback if fallback is not None else PowerLawTips()
 
     def has(self, mol_id: int, iso: int = 1) -> bool:
         return (int(mol_id), int(iso)) in self._tables
 
+    def has_molecule(self, mol_id: int) -> bool:
+        return (int(mol_id), 1) in self._tables
+
     def q(self, mol_id: int, t, iso: int = 1):
-        table = self._tables[(int(mol_id), int(iso))]
+        key = (int(mol_id), int(iso))
+        if key not in self._tables:
+            if (int(mol_id), 1) not in self._tables:
+                return self.fallback.q(mol_id, t, iso)
+            key = (int(mol_id), 1)
+        table = self._tables[key]
         return np.interp(np.asarray(t, dtype=np.float64), self._tgrid, table)
 
     def q_ratio(self, mol_id: int, t, iso: int = 1):
         return self.q(mol_id, constants.TREF, iso) / self.q(mol_id, t, iso)
 
     def q296(self, mol_id: int, iso: int = 1) -> float:
+        if not self.has_molecule(mol_id):
+            return self.fallback.q296(mol_id, iso)
         key = (int(mol_id), int(iso)) if self.has(mol_id, iso) \
             else (int(mol_id), 1)
         return float(np.interp(constants.TREF, self._tgrid,
                                self._tables[key]))
 
 
+_PACKAGED_TABLE = os.path.join(os.path.dirname(__file__), os.pardir,
+                               "data", "tips2017.npz")
+_default_cache = None
+
+
 def default_tips():
-    """TabulatedTips if $GRTCODE_TPU_TIPS points at a table file, else the
-    power-law fallback."""
+    """The default partition-function provider, in preference order:
+    $GRTCODE_TPU_TIPS table file > the packaged ``data/tips2017.npz``
+    (generated by ``tools/convert_tips.py generate``, pinned to the
+    reference's test_tips2017.c values) > the power-law fallback."""
+    global _default_cache
     path = os.environ.get(DEFAULT_TABLE_ENV)
     if path and os.path.exists(path):
         return TabulatedTips(path)
-    return PowerLawTips()
+    if _default_cache is None:
+        if os.path.exists(_PACKAGED_TABLE):
+            _default_cache = TabulatedTips(_PACKAGED_TABLE)
+        else:
+            _default_cache = PowerLawTips()
+    return _default_cache
 
 
 def q_inverse_layers(tips, mol_id: int, tavg, num_iso: int):
@@ -149,6 +179,8 @@ def q_inverse_layers(tips, mol_id: int, tavg, num_iso: int):
 
     tavg = jnp.asarray(tavg)
     nlayers = tavg.shape[0]
+    if isinstance(tips, TabulatedTips) and not tips.has_molecule(mol_id):
+        tips = tips.fallback
     if isinstance(tips, PowerLawTips):
         ratio = (constants.TREF / tavg) ** tips.beta(mol_id)
         q296 = np.array([tips.q296(mol_id, iso)

@@ -124,6 +124,34 @@ def test_tips_reference_pins():
         assert 1.0 < tips.beta(mol) < 2.0
 
 
+def test_packaged_tips_tables_pin_reference_values():
+    """The shipped data/tips2017.npz (tools/convert_tips.py generate) is the
+    default provider and reproduces the reference-pinned Q values
+    (gas-optics/test/test_tips2017.c:34-65) *through the tabulated path* —
+    the same rel 1e-9 contract as the reference's check_floating_point."""
+    tips = tips_mod.default_tips()
+    assert isinstance(tips, tips_mod.TabulatedTips)
+    pins = {1: 156.6091754, 2: 261.25798746, 3: 3087.3115616000005,
+            4: 4524.7762498, 6: 528.2642260800001}
+    for mol, expect in pins.items():
+        assert float(tips.q(mol, 275.234324, 1)) == \
+            pytest.approx(expect, rel=1e-9), mol
+    # Absolute normalization tracks HITRAN molparam at 296 K.
+    for mol, q296 in {1: 174.5813, 2: 286.09, 3: 3483.71, 4: 4984.90,
+                      5: 107.42, 6: 590.48, 7: 215.73}.items():
+        assert tips.q296(mol, 1) == pytest.approx(q296, rel=1e-4), mol
+    # Vibrational curvature: tables deviate from any pure power law at
+    # high T (the physics PowerLawTips cannot represent).
+    beta_eff = (np.log(tips.q(2, 500.0, 1) / tips.q(2, 400.0, 1))
+                / np.log(500.0 / 400.0))
+    beta_low = (np.log(tips.q(2, 200.0, 1) / tips.q(2, 160.0, 1))
+                / np.log(200.0 / 160.0))
+    assert beta_eff - beta_low > 0.2     # CO2 bend modes activate
+    # Molecules beyond the tabulated set route to the power-law fallback.
+    assert float(tips.q(9, 2 * constants.TREF)) == \
+        pytest.approx(2.0 ** 1.5)
+
+
 def test_tabulated_tips(tmp_path):
     tgrid = np.linspace(100.0, 500.0, 81)
     q11 = 100.0 + tgrid          # linear-in-T fake tables

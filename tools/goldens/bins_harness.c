@@ -33,13 +33,10 @@
 #include "spectral_bin.h"
 #include "spectral_bin-internal.h"
 
-/* Power-law Q stub (PowerLawTips equivalent). */
-double Q(int const mol_id, double const temperature, int const iso)
-{
-    double beta = (mol_id == 2 || mol_id == 7) ? 1.0 : 1.5;
-    (void)iso;
-    return pow(temperature / 296.0, beta);
-}
+/* Q() comes from the generated TIPS table header (regenerate
+ * with: python tools/convert_tips.py emit-c) so the harness
+ * and the framework share one partition function. */
+#include "tips_table.h"
 
 #define NUM_LEVELS 9
 #define NUM_LAYERS 8

@@ -34,32 +34,10 @@
 #include "spectral_bin.h"
 #include "spectral_bin-internal.h"
 
-/* Power-law Q stub (PowerLawTips equivalent): Q(T) = Q296*(T/296)^beta.
- * For the molecules whose Q the reference test suite pins
- * (gas-optics/test/test_tips2017.c:34-65) the exponent is calibrated from
- * the pinned Q(275.234324) and the HITRAN molparam Q(296) — identical to
- * grtcode_tpu.gas_optics.tips._BETA_CAL; otherwise beta = 1 for linear
- * molecules, 1.5 for nonlinear.  iso-independent (principal iso values). */
-double Q(int const mol_id, double const temperature, int const iso)
-{
-    static const double q296[7] = {0., 174.5813, 286.09, 3483.71, 4984.90,
-                                   0., 590.48};
-    static const double qpin[7] = {0., 156.6091754, 261.25798746,
-                                   3087.3115616, 4524.7762498, 0.,
-                                   528.26422608};
-    double beta, qref = 1.0;
-    (void)iso;
-    if (mol_id >= 1 && mol_id <= 6 && qpin[mol_id] > 0.0)
-    {
-        beta = log(qpin[mol_id] / q296[mol_id]) / log(275.234324 / 296.0);
-        qref = q296[mol_id];
-    }
-    else
-    {
-        beta = (mol_id == 2 || mol_id == 5 || mol_id == 7) ? 1.0 : 1.5;
-    }
-    return qref * pow(temperature / 296.0, beta);
-}
+/* Q() comes from the generated TIPS table header (regenerate
+ * with: python tools/convert_tips.py emit-c) so the harness
+ * and the framework share one partition function. */
+#include "tips_table.h"
 
 #define NUM_LEVELS 9
 #define NUM_LAYERS 8

@@ -215,8 +215,10 @@ class RadiationDriver:
                 sw_vmr = {k: v for k, v in col["vmr"].items()
                           if k in self.sw_gas.molecules}
                 tau_sw = jax.vmap(
-                    lambda p, t, v: self.sw_gas.optical_depth(p, t, v))(
-                    col["p_lev"], col["t_lev"], sw_vmr)
+                    lambda p, t, v, cv, iv: self.sw_gas.optical_depth(
+                        p, t, v, cfc_vmr=cv, cia_vmr=iv))(
+                    col["p_lev"], col["t_lev"], sw_vmr,
+                    col["cfc_vmr"], col["cia_vmr"])
                 p_atm = col["p_lev"] * constants.MB_TO_ATM
                 ray = rayleigh_tau(cg.number_densities(p_atm), w_sw)
                 gasray_sw = combine([

@@ -159,9 +159,13 @@ class GasOptics:
         self.cfcs[int(cfc_id)] = table
 
     def add_cia(self, species1, species2, path: str):
+        # The pressure-squared column factor (~7.9e46 [K atm-2 cm-5],
+        # kernels.c:611-615) is folded into the stored table in f64: neither
+        # it nor real CIA sigma (~1e-44 cm^5) fits f32, but the product does.
         table = CrossSectionTable.from_file(
             int(species1), path, self.grid,
-            name=f"cia_{int(species1)}_{int(species2)}")
+            name=f"cia_{int(species1)}_{int(species2)}",
+            scale=constants.CIA_COLUMN_FACTOR)
         self.cias.append((int(species1), int(species2), table))
 
     # -- forward pass ------------------------------------------------------
@@ -317,8 +321,8 @@ class GasOptics:
         for s1, s2, table in self.cias:
             x1 = lev(cia_vmr[s1])
             x2 = lev(cia_vmr[s2])
-            c = jnp.float32(constants.CIA_COLUMN_FACTOR)
-            n_sq = c * ((p2[:, :-1] ** 2 - p2[:, 1:] ** 2) / tavg2) * 0.25 * \
+            # Column factor pre-folded into the table (see add_cia).
+            n_sq = ((p2[:, :-1] ** 2 - p2[:, 1:] ** 2) / tavg2) * 0.25 * \
                 (x1[:, :-1] + x1[:, 1:]) * (x2[:, :-1] + x2[:, 1:])
             n_sq = jnp.abs(n_sq)
             tau = tau + n_sq.reshape(rows)[:, None] * \

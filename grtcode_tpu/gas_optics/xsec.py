@@ -28,13 +28,18 @@ class CrossSectionTable:
 
     @classmethod
     def from_file(cls, xsec_id, path: str, grid: SpectralGrid,
-                  name: str | None = None):
+                  name: str | None = None, scale: float = 1.0):
+        """``scale`` is folded into the stored f32 table in f64: CIA cross
+        sections (~1e-44 cm^5) and the pressure-squared column factor
+        (~1e47, constants.CIA_COLUMN_FACTOR) each sit outside the f32
+        range — only their product is f32-representable."""
         data = _read_csv(path, 2)
         y = interpolate_to_grid_np(grid, data[:, 0], data[:, 1])
         if name is None:
             name = CFC_NAMES.get(CfcId(xsec_id), str(xsec_id))
         return cls(id=int(xsec_id), name=name,
-                   cross_section=jnp.asarray(y, jnp.float32))
+                   cross_section=jnp.asarray(
+                       np.asarray(y, np.float64) * scale, jnp.float32))
 
 
 def cfc_optical_depth(xsec: CrossSectionTable, n, x_levels, xs=None):
@@ -62,6 +67,10 @@ def cia_optical_depth(xsec: CrossSectionTable, p_levels, tavg, x1_levels,
     Args: level pressure [atm] (nlevels,), layer temperature (nlayers,),
     level mole fractions of both species; ``xs`` optionally overrides the
     cross-section with a spectral-shard slice.
+
+    The column factor c is pre-folded into the stored cross-section
+    (CrossSectionTable.from_file scale=...): c ~ 7.9e46 overflows f32 and
+    real CIA sigma ~ 1e-44 is f32-subnormal, but c*sigma ~ 1e3 is exact.
     """
     if xs is None:
         xs = xsec.cross_section
@@ -69,8 +78,7 @@ def cia_optical_depth(xsec: CrossSectionTable, p_levels, tavg, x1_levels,
     t = jnp.asarray(tavg, jnp.float32)
     x1 = jnp.asarray(x1_levels, jnp.float32)
     x2 = jnp.asarray(x2_levels, jnp.float32)
-    c = jnp.float32(constants.CIA_COLUMN_FACTOR)
-    n2 = c * ((p[:-1] ** 2 - p[1:] ** 2) / t) * 0.25 * \
+    n2 = ((p[:-1] ** 2 - p[1:] ** 2) / t) * 0.25 * \
         (x1[:-1] + x1[1:]) * (x2[:-1] + x2[1:])
     n2 = jnp.abs(n2)
     return n2[:, None] * xs[None, :]

@@ -1,17 +1,28 @@
-"""Headline benchmark: longwave line-by-line pass throughput on one chip.
+"""Headline benchmark: production-scale line-by-line throughput on one chip.
 
 Workload mirrors the reference's RFMIP-IRF production configuration
-(GRTworkflow/run-rfmip-irf.sh:18-28): LW band 1-3250 cm-1 at 0.1 cm-1
-(32 491 spectral points), ~54 layers, full Voigt line-by-line gas optics
-plus the four-stream longwave solver.  Metric is the north-star
-column x layer x wavenumber grid-points per second per chip
-(/root/repo/BASELINE.json).
+(GRTworkflow/run-rfmip-irf.sh:104-125): 7 molecules (H2O CO2 O3 N2O CH4 CO
+O2) at HITRAN2016-scale line counts (~430k lines total), H2O + O3
+continua, 3 CFC cross-section species, 3 CIA pairs, LW band 1-3250 cm-1 @
+0.1 (32 491 points) + SW band 1-50 000 cm-1 @ 1.0 (50 000 points), ~54
+layers, full Voigt gas optics, both solvers, trapezoid-integrated fluxes
+(the ``-integrated`` flag).  B=16 columns per step, 10 timed iterations.
 
-vs_baseline: the reference processes 1800 columns on 10 GAEA C5 nodes
-(128-core AMD) in <= 15 min => ~0.2 columns/s/node x (32491 x 60)
-points/column ~= 3.9e5 grid-points/s per 128-core node.
+Metric: column x layer x wavenumber grid-points per second per chip over
+BOTH bands (north star, /root/repo/BASELINE.json).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline: the reference processes 1800 columns (100 sites x 18
+experiments) through the same two-band configuration on 10 GAEA C5 nodes
+(128-core AMD) within the 15-minute SLURM budget
+(run-rfmip-irf.sh:18-28,104-125) => 1800 x (32491 + 50000) x 60 points /
+9000 s ~= 9.9e5 grid-points/s per node.
+
+Also reported (stderr + extra JSON keys): XLA's own FLOP count for the
+step (cost_analysis) as TFLOP/s, and that as a fraction of a nominal 4
+TFLOP/s v5e f32 VPU peak (the Voigt path is elementwise VPU work, not MXU
+matmuls, so bf16 MXU peak is not the right denominator).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
 import json
 import os
@@ -20,7 +31,8 @@ import time
 
 import numpy as np
 
-REF_POINTS_PER_S = 3.9e5  # per 128-core GAEA C5 node (see module docstring)
+REF_POINTS_PER_S = 9.9e5   # per 128-core GAEA C5 node (see module docstring)
+V5E_F32_VPU_PEAK = 4.0e12  # nominal f32 elementwise peak used for MFU
 
 
 def enable_compile_cache():
@@ -38,92 +50,232 @@ def enable_compile_cache():
     except Exception:
         pass  # older jax without the knobs: cold compile, still correct
 
+# HITRAN2016-scale line counts per band (order-of-magnitude per molecule in
+# each window; the reference sizes its work arrays for up to 600k/molecule,
+# gas_optics.c:46).
+LW_LINES = {1: 60000, 2: 100000, 3: 120000, 4: 30000, 6: 50000,
+            5: 4000, 7: 2000}
+SW_LINES = {1: 40000, 2: 10000, 3: 10000, 7: 4000}
+
+
+def build(smoke: bool = False):
+    """The benchmark model + batch; ``smoke`` shrinks everything for CI."""
+    import jax.numpy as jnp
+    from grtcode_tpu.spectral import SpectralGrid
+    from grtcode_tpu.gas_optics.continua import (OzoneContinuum,
+                                                 WaterVaporContinuum)
+    from grtcode_tpu.gas_optics.gas_optics import GasOptics
+    from grtcode_tpu.gas_optics.hitran import synthetic_catalog
+    from grtcode_tpu.gas_optics.xsec import CrossSectionTable
+    from grtcode_tpu.solvers.solar_flux import SolarFlux
+    from grtcode_tpu import constants
+
+    shrink = 64 if smoke else 1
+    lw_grid = SpectralGrid(1.0, 3250.0, 0.1 * (8 if smoke else 1))
+    sw_grid = SpectralGrid(1.0, 50000.0, 1.0 * (8 if smoke else 1))
+    B = 4 if smoke else 16
+    nlayers = 54
+
+    def catalog(mol_id, grid, L, seed):
+        rng = np.random.default_rng(seed)
+        vnn = np.sort(rng.uniform(grid.w0, grid.last, L))
+        return synthetic_catalog(
+            mol_id, vnn, 10.0 ** rng.uniform(-23.5, -19.5, L),
+            yair=rng.uniform(0.02, 0.11, L), yself=rng.uniform(0.05, 0.4, L),
+            en=rng.uniform(0.0, 2800.0, L), n=rng.uniform(0.35, 0.85, L),
+            d=rng.uniform(-0.01, 0.01, L))
+
+    def continua(grid):
+        w = np.asarray(grid.wavenumbers_np())
+        h2o = WaterVaporContinuum(
+            cs=jnp.asarray(2.5e-22 * np.exp(-w / 900.0) + 4e-25,
+                           jnp.float32),
+            cf=jnp.asarray(6.0e-25 * np.exp(-w / 1500.0) + 1e-27,
+                           jnp.float32),
+            t0s=jnp.asarray(0.012 + 0.004 * np.sin(w / 800.0), jnp.float32),
+            t0f=jnp.asarray(0.006 + 0.002 * np.cos(w / 1100.0), jnp.float32))
+        o3 = OzoneContinuum(cross_section=jnp.asarray(
+            4e-22 * np.exp(-0.5 * ((w - 17500.0) / 2600.0) ** 2),
+            jnp.float32))
+        return h2o, o3
+
+    def xsec_tables(gas, grid):
+        w = np.asarray(grid.wavenumbers_np())
+        # 3 CFC species (run-rfmip-irf.sh uses CFC-11-eq + CFC-12; circ adds
+        # CCl4) + 3 CIA pairs (N2-N2, O2-N2, O2-O2).
+        for cfc_id, center in ((0, 850.0), (1, 920.0), (3, 790.0)):
+            sig = 8e-19 * np.exp(-0.5 * ((w - center) / 40.0) ** 2)
+            gas.cfcs[cfc_id] = CrossSectionTable(
+                id=cfc_id, name=f"cfc{cfc_id}",
+                cross_section=jnp.asarray(sig, jnp.float32))
+        for k, (s1, s2, center, width) in enumerate(
+                ((0, 0, 95.0, 70.0), (1, 0, 150.0, 90.0),
+                 (1, 1, 1550.0, 120.0))):
+            sig = 4e-44 * np.exp(-0.5 * ((w - center) / width) ** 2)
+            gas.cias.append((s1, s2, CrossSectionTable(
+                id=s1, name=f"cia{k}", cross_section=jnp.asarray(
+                    np.float64(sig) * constants.CIA_COLUMN_FACTOR,
+                    jnp.float32))))
+
+    lw_h2o, lw_o3 = continua(lw_grid)
+    lw_gas = GasOptics(lw_grid, line_chunk=1024, h2o_ctm=lw_h2o,
+                       o3_ctm=lw_o3)
+    for seed, (mol, L) in enumerate(LW_LINES.items()):
+        lw_gas.add_catalog(catalog(mol, lw_grid, max(64, L // shrink), seed))
+    xsec_tables(lw_gas, lw_grid)
+
+    sw_h2o, sw_o3 = continua(sw_grid)
+    sw_gas = GasOptics(sw_grid, line_chunk=1024, h2o_ctm=sw_h2o,
+                       o3_ctm=sw_o3)
+    for seed, (mol, L) in enumerate(SW_LINES.items()):
+        sw_gas.add_catalog(
+            catalog(mol, sw_grid, max(64, L // shrink), 100 + seed))
+    xsec_tables(sw_gas, sw_grid)
+
+    solar = SolarFlux.from_samples(
+        np.linspace(1.0, 50100.0, 256),
+        np.exp(-0.5 * ((np.linspace(1.0, 50100.0, 256) - 18000.0)
+                       / 9000.0) ** 2) + 1e-3, sw_grid)
+
+    rng = np.random.default_rng(7)
+    nlev = nlayers + 1
+    batch = {
+        "p_lev": np.linspace(0.01, 1013.0, nlev)[None, :] * np.ones((B, 1)),
+        "t_lev": np.linspace(210.0, 290.0, nlev)[None, :]
+        + rng.uniform(-5, 5, (B, nlev)),
+        "vmr": {1: 2.0 + 19000.0 * (np.arange(nlev) / nlev)[None, :] ** 3
+                * np.ones((B, 1)),
+                2: np.full((B, nlev), 400.0), 3: np.full((B, nlev), 1.0),
+                4: np.full((B, nlev), 0.33), 5: np.full((B, nlev), 0.1),
+                6: np.full((B, nlev), 1.85),
+                7: np.full((B, nlev), 209000.0)},
+        "cfc_vmr": {0: np.full((B, nlev), 2.6e-4),
+                    1: np.full((B, nlev), 5.2e-4),
+                    3: np.full((B, nlev), 1.0e-4)},
+        "cia_vmr": {0: np.full((B, nlev), 781000.0),
+                    1: np.full((B, nlev), 209000.0)},
+        "mu": rng.uniform(0.1, 0.95, B),
+        "tsi": np.full(B, 1361.0),
+    }
+    return lw_gas, sw_gas, solar, batch, B, nlayers
+
+
+def make_step(lw_gas, sw_gas, solar):
+    import jax
+    import jax.numpy as jnp
+    from grtcode_tpu import constants
+    from grtcode_tpu.solvers.longwave import longwave_fluxes
+    from grtcode_tpu.solvers.rayleigh import rayleigh_tau
+    from grtcode_tpu.solvers.shortwave import shortwave_fluxes
+    from grtcode_tpu.utils import curtis_godson as cg
+    from grtcode_tpu.utils.interp import trapezoid_uniform
+
+    w_lw = lw_gas.grid.wavenumbers()
+    w_sw = sw_gas.grid.wavenumbers()
+    f32 = jnp.float32
+
+    @jax.jit
+    def step(p_lev, t_lev, vmr, cfc_vmr, cia_vmr, mu, tsi, chain):
+        # ``chain`` carries a data dependency from the previous iteration so
+        # queued steps can't overlap; its float() fetch forces a device sync
+        # (block_until_ready is unreliable through the remote TPU tunnel).
+        p_lev = jnp.asarray(p_lev, f32)
+        t_lev = jnp.asarray(t_lev, f32) + chain
+        vmrf = {k: jnp.asarray(v, f32) * 1e-6 for k, v in vmr.items()}
+        cfcf = {k: jnp.asarray(v, f32) * 1e-6 for k, v in cfc_vmr.items()}
+        ciaf = {k: jnp.asarray(v, f32) * 1e-6 for k, v in cia_vmr.items()}
+        t_layers = 0.5 * (t_lev[:, :-1] + t_lev[:, 1:])
+        t_surf = t_lev[:, -1] + 1.5
+
+        tau_lw = lw_gas.optical_depth(p_lev, t_lev, vmrf, cfc_vmr=cfcf,
+                                      cia_vmr=ciaf)
+        flu, fld = longwave_fluxes(
+            tau_lw, jnp.zeros_like(tau_lw), t_surf, t_layers, t_lev,
+            jnp.ones((p_lev.shape[0], w_lw.shape[0]), f32), w_lw)
+        rlu = trapezoid_uniform(flu, lw_gas.grid.dw)
+        rld = trapezoid_uniform(fld, lw_gas.grid.dw)
+
+        sw_vmr = {k: v for k, v in vmrf.items() if k in sw_gas.molecules}
+        tau_sw = sw_gas.optical_depth(p_lev, t_lev, sw_vmr, cfc_vmr=cfcf,
+                                      cia_vmr=ciaf)
+        ray = rayleigh_tau(
+            cg.number_densities(p_lev * constants.MB_TO_ATM), w_sw)
+        tau_tot = tau_sw + ray
+        omega = ray / jnp.maximum(tau_tot, 1e-30)
+        alb = jnp.full((p_lev.shape[0], w_sw.shape[0]), 0.15, f32)
+        fsu, fsd = shortwave_fluxes(
+            tau_tot, omega, jnp.zeros_like(tau_tot), jnp.asarray(mu, f32),
+            jnp.full_like(jnp.asarray(mu, f32), 0.5), alb, alb,
+            jnp.asarray(tsi, f32), solar.incident_flux)
+        rsu = trapezoid_uniform(fsu, sw_gas.grid.dw)
+        rsd = trapezoid_uniform(fsd, sw_gas.grid.dw)
+        return rlu, rld, rsu, rsd, rlu[0, 0] * 1e-30
+    return step
+
 
 def main():
     import jax
 
     enable_compile_cache()
     import jax.numpy as jnp
-    from grtcode_tpu.spectral import SpectralGrid
-    from grtcode_tpu.gas_optics.gas_optics import GasOptics
-    from grtcode_tpu.gas_optics.hitran import synthetic_catalog
-    from grtcode_tpu.solvers.longwave import longwave_fluxes
 
+    smoke = "--smoke" in sys.argv
     dev = jax.devices()[0]
-    print(f"bench device: {dev.platform} ({dev.device_kind})", file=sys.stderr)
+    print(f"bench device: {dev.platform} ({dev.device_kind})",
+          file=sys.stderr)
 
-    grid = SpectralGrid(1.0, 3250.0, 0.1)     # 32 491 points
-    nlayers = 54
-    B = 4                                      # columns per step
-    nlines_h2o, nlines_co2 = 16384, 8192       # HITRAN-scale LW line counts
+    lw_gas, sw_gas, solar, batch, B, nlayers = build(smoke)
+    n_lines = sum(int(m.num_lines) for m in lw_gas.molecules.values()) + \
+        sum(int(m.num_lines) for m in sw_gas.molecules.values())
+    print(f"catalog: {n_lines} lines, B={B}, layers={nlayers}, "
+          f"lw n={lw_gas.grid.n}, sw n={sw_gas.grid.n}", file=sys.stderr)
+    step = make_step(lw_gas, sw_gas, solar)
 
-    def catalog(mol_id, L, seed):
-        rng = np.random.default_rng(seed)
-        vnn = np.sort(rng.uniform(grid.w0, grid.last, L))
-        return synthetic_catalog(
-            mol_id, vnn, rng.uniform(1e-23, 1e-19, L),
-            yair=rng.uniform(0.02, 0.1, L), yself=rng.uniform(0.05, 0.4, L),
-            en=rng.uniform(0.0, 2000.0, L), n=rng.uniform(0.4, 0.8, L),
-            d=rng.uniform(-0.01, 0.01, L))
-
-    gas = GasOptics(grid, line_chunk=1024)
-    gas.add_catalog(catalog(1, nlines_h2o, 0))
-    gas.add_catalog(catalog(2, nlines_co2, 1))
-
-    rng = np.random.default_rng(7)
-    nlev = nlayers + 1
-    p_lev = jnp.asarray(
-        np.linspace(0.01, 1013.0, nlev)[None, :] * np.ones((B, 1)),
-        jnp.float32)
-    t_lev = jnp.asarray(
-        np.linspace(210.0, 290.0, nlev)[None, :]
-        + rng.uniform(-5, 5, (B, nlev)), jnp.float32)
-    t_surf = t_lev[:, -1] + 1.5
-    vmr = jnp.asarray(rng.uniform(1e-6, 1e-2, (B, 2, nlev)), jnp.float32)
-    emis = jnp.ones((B, grid.n), jnp.float32)
-    w = grid.wavenumbers()
-
-    @jax.jit
-    def step(p_lev, t_lev, t_surf, vmr, emis, chain):
-        # Batched natively: the (B x layer) rows densify one Pallas fused
-        # kernel launch per molecule instead of a vmap replay.  ``chain``
-        # carries a data dependency from the previous iteration so queued
-        # steps can't overlap, and its float() fetch below forces a real
-        # device sync (block_until_ready is unreliable through the remote
-        # TPU tunnel).
-        tau = gas.optical_depth(p_lev, t_lev + chain,
-                                {1: vmr[:, 0], 2: vmr[:, 1]})
-        t_layers = 0.5 * (t_lev[:, :-1] + t_lev[:, 1:])
-        fu, fd = longwave_fluxes(tau, jnp.zeros_like(tau), t_surf,
-                                 t_layers, t_lev, emis, w)
-        return fu, fd, fu[0, 0, 0] * 1e-30
-
-    args = (p_lev, t_lev, t_surf, vmr, emis)
+    args = (batch["p_lev"], batch["t_lev"], batch["vmr"], batch["cfc_vmr"],
+            batch["cia_vmr"], batch["mu"], batch["tsi"])
     t0 = time.perf_counter()
     chain = jnp.float32(0.0)
     out = step(*args, chain)
-    float(out[2])
-    compile_s = time.perf_counter() - t0
-    print(f"compile+first step: {compile_s:.1f}s", file=sys.stderr)
+    float(out[4])
+    print(f"compile+first step: {time.perf_counter() - t0:.1f}s",
+          file=sys.stderr)
 
-    iters = 3
+    flops = None
+    try:
+        cost = step.lower(*args, chain).compile().cost_analysis()
+        if cost and "flops" in cost:
+            flops = float(cost["flops"])
+    except Exception:
+        pass
+
+    iters = 2 if smoke else 10
     t0 = time.perf_counter()
     chain = jnp.float32(0.0)
     for _ in range(iters):
         out = step(*args, chain)
-        chain = out[2]
+        chain = out[4]
     float(chain)
     elapsed = time.perf_counter() - t0
 
-    points = B * nlayers * grid.n * iters
+    points = B * nlayers * (lw_gas.grid.n + sw_gas.grid.n) * iters
     value = points / elapsed
-    print(f"{iters} steps in {elapsed:.3f}s", file=sys.stderr)
-    print(json.dumps({
-        "metric": "lw_gridpoints_per_s_per_chip",
+    result = {
+        "metric": "gridpoints_per_s_per_chip",
         "value": value,
-        "unit": "column*layer*wavenumber points/s",
+        "unit": "column*layer*wavenumber points/s (LW+SW)",
         "vs_baseline": value / REF_POINTS_PER_S,
-    }))
+    }
+    print(f"{iters} steps in {elapsed:.3f}s "
+          f"({elapsed / iters * 1e3:.0f} ms/step)", file=sys.stderr)
+    if flops is not None:
+        tflops = flops * iters / elapsed / 1e12
+        result["est_tflops"] = round(tflops, 3)
+        result["mfu_vs_4tflops_f32_vpu"] = round(
+            tflops * 1e12 / V5E_F32_VPU_PEAK, 3)
+        print(f"XLA-counted {tflops:.2f} TFLOP/s "
+              f"(~{tflops * 1e12 / V5E_F32_VPU_PEAK:.0%} of nominal 4 "
+              f"TFLOP/s f32 VPU peak)", file=sys.stderr)
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

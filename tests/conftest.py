@@ -18,3 +18,8 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 # Float64 stays OFF: the framework is f32-native by design (TPU-first); tests
 # that need f64 host math use numpy.
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: multi-process / long-running integration tests")

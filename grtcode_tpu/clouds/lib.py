@@ -95,35 +95,65 @@ class CloudOpticsLib:
         le, ls, lg = self.liquid.evaluate(ql, rliq)      # (nlayers, nbnd)
         ie, is_, ig = self.ice.evaluate(qi, rice)
 
+        ws = [grid.wavenumbers() for grid in grids]
+        out = []
+        for grid, (liq, ice) in zip(
+                grids, self.column_optics_w(key, cloud_fraction, lwc, iwc,
+                                            t_lay, layer_pressure_mb,
+                                            layer_thickness, ws)):
+            liq.grid = grid
+            ice.grid = grid
+            out.append((liq, ice))
+        return out
+
+    def column_optics_w(self, key, cloud_fraction, lwc, iwc, t_lay,
+                        layer_pressure_mb, layer_thickness, ws):
+        """Like :meth:`column_optics` but on explicit wavenumber arrays —
+        the sharded driver passes each spectral shard's block of w, and the
+        condensate sample depends only on the key/cloud state, so every
+        shard sees one consistent cloud realization."""
+        overlap = overlap_from_pressure(layer_pressure_mb)
+        ql, qi = sample_condensate(key, cloud_fraction, lwc, iwc, overlap)
+        rice = ice_particle_size(t_lay) / 2.0
+        rliq = jnp.full_like(rice, self.liquid_radius)
+
+        le, ls, lg = self.liquid.evaluate(ql, rliq)      # (nlayers, nbnd)
+        ie, is_, ig = self.ice.evaluate(qi, rice)
+
         out = []
         thick = jnp.asarray(layer_thickness, jnp.float32)[:, None]
-        for grid in grids:
-            w = grid.wavenumbers()
+        for w in ws:
             liq = Optics(
                 tau=band_to_grid(le, self.liquid.band_lims, w) * thick,
                 omega=band_to_grid(ls, self.liquid.band_lims, w),
-                g=band_to_grid(lg, self.liquid.band_lims, w), grid=grid)
+                g=band_to_grid(lg, self.liquid.band_lims, w))
             ice = Optics(
                 tau=band_to_grid(ie, self.ice.band_lims, w) * thick,
                 omega=band_to_grid(is_, self.ice.band_lims, w),
-                g=band_to_grid(ig, self.ice.band_lims, w), grid=grid)
+                g=band_to_grid(ig, self.ice.band_lims, w))
             out.append((liq, ice))
         return out
 
     def driver_callback(self):
         """Adapter for RadiationDriver.cloud_optics: batched over columns.
 
-        Signature: (cloud_args, key, lw_grid, sw_grid) ->
-        (liq_lw, ice_lw, liq_sw, ice_sw) with batched (B, nlayers, nw)
-        fields (sw entries are None when sw_grid is None).
+        Signature: (cloud_args, key, w_lw, w_sw) -> (liq_lw, ice_lw,
+        liq_sw, ice_sw) with batched (B, nlayers, nw) fields (sw entries
+        are None when w_sw is None).  w_lw/w_sw may be full grids or one
+        spectral shard's block — the subcolumn sample is w-independent.
         """
-        def callback(cloud_args, key, lw_grid, sw_grid):
+        def callback(cloud_args, key, w_lw, w_sw):
             B = cloud_args["cloud_fraction"].shape[0]
-            keys = jax.random.split(key, B)
-            grids = (lw_grid,) if sw_grid is None else (lw_grid, sw_grid)
+            # Per-GLOBAL-column keys: fold_in of the column id keeps the
+            # realization identical under any column sharding (split(B)
+            # would restart the sequence inside each shard).
+            col_index = cloud_args.get(
+                "col_index", jnp.arange(B, dtype=jnp.int32))
+            keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(col_index)
+            ws = (w_lw,) if w_sw is None else (w_lw, w_sw)
 
             def one(k, cf, lw, iw, t, p, dz):
-                return self.column_optics(k, cf, lw, iw, t, p, dz, grids)
+                return self.column_optics_w(k, cf, lw, iw, t, p, dz, ws)
 
             res = jax.vmap(one)(keys, cloud_args["cloud_fraction"],
                                 cloud_args["liquid_water_content"],
@@ -132,7 +162,7 @@ class CloudOpticsLib:
                                 cloud_args["layer_pressure"],
                                 cloud_args["layer_thickness"])
             liq_lw, ice_lw = res[0]
-            if sw_grid is None:
+            if w_sw is None:
                 return liq_lw, ice_lw, None, None
             liq_sw, ice_sw = res[1]
             return liq_lw, ice_lw, liq_sw, ice_sw

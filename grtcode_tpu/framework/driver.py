@@ -20,16 +20,18 @@ from typing import Callable
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.sharding import PartitionSpec as P
 
 from .. import constants
-from ..gas_optics.gas_optics import GasOptics
+from ..gas_optics.gas_optics import GasOptics, _pad_table
 from ..optics import Optics, combine
 from ..solvers.longwave import longwave_fluxes
 from ..solvers.rayleigh import rayleigh_tau
 from ..solvers.shortwave import shortwave_fluxes
 from ..solvers.solar_flux import SolarFlux
 from ..utils import curtis_godson as cg
-from ..utils.interp import interpolate_to_grid_np, trapezoid_uniform
+from ..utils.interp import (block_trapezoid_weights, interpolate_to_grid_np,
+                            trapezoid_uniform)
 from .atmosphere import Atmosphere
 
 DIFFUSE_MU = 0.5  # cosine_diffuse_angle (driver.c:109)
@@ -105,8 +107,16 @@ class RadiationDriver:
                 albedo = np.zeros((B, nw_sw))
         return emis, albedo
 
-    def run(self, atm: Atmosphere, integrated: bool = True) -> FluxResults:
-        """Compute all applicable sky tiers for the batch."""
+    def run(self, atm: Atmosphere, integrated: bool = True,
+            mesh=None) -> FluxResults:
+        """Compute all applicable sky tiers for the batch.
+
+        With ``mesh`` (a (columns x spectral) jax Mesh, parallel.make_mesh),
+        the batch shards over the "columns" axis and each band's spectral
+        grid splits into contiguous blocks over "spectral"; integrated
+        fluxes reduce with psum using exact per-block trapezoid weights.
+        All three sky tiers run under the same sharded step.
+        """
         emis_np, albedo_np = self._surface_spectra(atm)
         f32 = jnp.float32
 
@@ -116,8 +126,10 @@ class RadiationDriver:
             "t_lay": jnp.asarray(atm.layer_temperature, f32),
             "t_surf": jnp.asarray(atm.surface_temperature, f32),
             "emis": jnp.asarray(emis_np, f32),
-            "vmr": {k: jnp.asarray(np.asarray(v, np.float64) * 1e-6, f32)
-                    for k, v in atm.ppmv.items()},
+            "vmr_lw": {k: jnp.asarray(np.asarray(v, np.float64) * 1e-6,
+                                      f32)
+                       for k, v in atm.ppmv.items()
+                       if k in self.lw_gas.molecules},
             "cfc_vmr": {k: jnp.asarray(np.asarray(v, np.float64) * 1e-6, f32)
                         for k, v in atm.cfc_ppmv.items()},
             "cia_vmr": {k: jnp.asarray(np.asarray(v, np.float64) * 1e-6, f32)
@@ -132,7 +144,12 @@ class RadiationDriver:
                     atm.total_solar_irradiance
                     if atm.total_solar_irradiance is not None
                     else np.zeros(atm.batch), f32),
-                "albedo": jnp.asarray(albedo_np, f32),
+                "albedo_dir": jnp.asarray(albedo_np, f32),
+                "albedo_dif": jnp.asarray(albedo_np, f32),
+                "vmr_sw": {
+                    k: jnp.asarray(np.asarray(v, np.float64) * 1e-6, f32)
+                    for k, v in atm.ppmv.items()
+                    if k in self.sw_gas.molecules},
             })
         if not atm.clean:
             dev.update({
@@ -151,6 +168,10 @@ class RadiationDriver:
             if self.cloud_optics is None:
                 raise ValueError("cloudy atmosphere but no cloud_optics")
             cloud_args = {
+                # Global column ids: subcolumn RNG keys fold these in, so
+                # each column's cloud realization is independent of how
+                # the batch is sharded over the mesh.
+                "col_index": jnp.arange(atm.batch, dtype=jnp.int32),
                 "cloud_fraction": jnp.asarray(atm.cloud_fraction, f32),
                 "liquid_water_content": jnp.asarray(
                     atm.liquid_water_content, f32),
@@ -162,69 +183,142 @@ class RadiationDriver:
                 "t_lay": jnp.asarray(atm.layer_temperature, f32),
             }
 
-        out = self._step(atm.clean, atm.clear, integrated)(dev, cloud_args)
+        out = self._step(atm.clean, atm.clear, integrated, mesh)(dev,
+                                                                cloud_args)
         return FluxResults(tiers=jax.tree.map(np.asarray, out),
                            integrated=integrated)
 
     # -- the jitted batched computation ------------------------------------
-    def _step(self, clean: bool, clear: bool, integrated: bool):
+    def _step(self, clean: bool, clear: bool, integrated: bool, mesh=None):
+        """ONE step implementation for every sky tier, unsharded or over a
+        (columns x spectral) mesh.  Under a mesh each shard computes its
+        contiguous wavenumber block of gas/Rayleigh/aerosol/cloud optics
+        and both solvers, and integrated fluxes psum over the spectral
+        axis with exact per-block trapezoid weights."""
+        from ..parallel.mesh import COLUMNS_AXIS, SPECTRAL_AXIS
+
         lwg = self.lw_gas.grid
         swg = self.sw_gas.grid if self.sw_gas is not None else None
-        w_lw = lwg.wavenumbers()
-        w_sw = swg.wavenumbers() if swg is not None else None
-        sol = self.solar.incident_flux if self.solar is not None else None
+        sol_full = (self.solar.incident_flux if self.solar is not None
+                    else jnp.zeros((1,), jnp.float32))
+        if mesh is not None and not integrated:
+            raise NotImplementedError(
+                "spectrally-resolved output under a mesh: gather the "
+                "blocks with integrated=True per-shard output instead")
 
-        def reduce(fx, dw):
-            return trapezoid_uniform(fx, dw) if integrated else fx
+        S = 1 if mesh is None else mesh.shape[SPECTRAL_AXIS]
 
-        def lw_tier(optics, col):
-            flu, fld = longwave_fluxes(optics.tau, optics.omega,
-                                       col["t_surf"], col["t_lay"],
-                                       col["t_lev"], col["emis"], w_lw)
-            return reduce(flu, lwg.dw), reduce(fld, lwg.dw)
+        def _block(n, tile):
+            """ceil(n / S) rounded up to the gas-optics tile (tiled
+            accumulation requires tile-aligned block starts)."""
+            return -(-(-(-n // S)) // tile) * tile
 
-        def sw_tier(optics, col):
-            mu = jnp.maximum(col["mu"], 1e-6)
-            fsu, fsd = shortwave_fluxes(
-                optics.tau, optics.omega, optics.g, mu,
-                jnp.full_like(mu, DIFFUSE_MU), col["albedo"], col["albedo"],
-                col["tsi"], sol)
-            day = (col["mu"] > 0.0).astype(jnp.float32)[:, None]
-            shp = day if integrated else day[..., None]
-            return reduce(fsu, swg.dw) * shp, reduce(fsd, swg.dw) * shp
+        block_lw = lwg.n if mesh is None else _block(lwg.n, self.lw_gas.tile)
+        block_sw = None
+        if swg is not None:
+            block_sw = (swg.n if mesh is None
+                        else _block(swg.n, self.sw_gas.tile))
+        sol_padded = (_pad_table(sol_full, block_sw)
+                      if swg is not None and mesh is not None else sol_full)
 
-        def aerosol_optics(col, grid, w):
-            """Angstrom-exponent spectral aerosol optical depth
-            (tau(lambda) = tau_1um * lambda_um^-alpha, utilities.c:45-74)."""
-            lam_um = 1e4 / w                                 # (nw,)
-            tau = col["aero_tau1um"][:, :, None] * \
-                lam_um[None, None, :] ** (-col["aero_alpha"][:, None, None])
-            omega = jnp.broadcast_to(col["aero_omega"][:, :, None], tau.shape)
-            g = jnp.broadcast_to(col["aero_g"][:, :, None], tau.shape)
-            return Optics(tau, omega, g, grid=grid)
+        def core(col, cloud_args, start_lw, start_sw):
+            """The whole tier set on one spectral block [start, start+block)
+            of each band (the full band when mesh is None)."""
+            full = mesh is None
+            w_lw = jnp.float32(lwg.w0) + jnp.float32(lwg.dw) * (
+                start_lw + jnp.arange(block_lw, dtype=jnp.int32)
+            ).astype(jnp.float32)
+            w_sw = None
+            if swg is not None:
+                w_sw = jnp.float32(swg.w0) + jnp.float32(swg.dw) * (
+                    start_sw + jnp.arange(block_sw, dtype=jnp.int32)
+                ).astype(jnp.float32)
 
-        def compute(col, cloud_args):
+            def reduce_lw(fx):
+                if not integrated:
+                    return fx
+                if full:
+                    return trapezoid_uniform(fx, lwg.dw)
+                return (fx * block_trapezoid_weights(
+                    start_lw, block_lw, lwg.n, lwg.dw)).sum(-1)
+
+            def reduce_sw(fx):
+                if not integrated:
+                    return fx
+                if full:
+                    return trapezoid_uniform(fx, swg.dw)
+                return (fx * block_trapezoid_weights(
+                    start_sw, block_sw, swg.n, swg.dw)).sum(-1)
+
+            def surface(val, block):
+                """Spectral surface quantity: accepts a full/per-shard
+                (B, nw) spectrum OR a (B,) grey value broadcast on the fly
+                (the ClearSkyRT adapter's cheap form — no (B, nw)
+                materialization outside the shard)."""
+                val = jnp.asarray(val, jnp.float32)
+                if val.ndim == 1:
+                    return jnp.broadcast_to(val[:, None],
+                                            (val.shape[0], block))
+                return val
+
+            def lw_tier(optics, c):
+                flu, fld = longwave_fluxes(optics.tau, optics.omega,
+                                           c["t_surf"], c["t_lay"],
+                                           c["t_lev"],
+                                           surface(c["emis"], block_lw),
+                                           w_lw)
+                return reduce_lw(flu), reduce_lw(fld)
+
+            def sw_tier(optics, c):
+                mu = jnp.maximum(c["mu"], 1e-6)
+                sol = (sol_padded if full else jax.lax.dynamic_slice_in_dim(
+                    sol_padded, jnp.asarray(start_sw, jnp.int32), block_sw))
+                fsu, fsd = shortwave_fluxes(
+                    optics.tau, optics.omega, optics.g, mu,
+                    jnp.full_like(mu, DIFFUSE_MU),
+                    surface(c["albedo_dir"], block_sw),
+                    surface(c["albedo_dif"], block_sw),
+                    c["tsi"], sol)
+                day = (c["mu"] > 0.0).astype(jnp.float32)[:, None]
+                shp = day if integrated else day[..., None]
+                return reduce_sw(fsu) * shp, reduce_sw(fsd) * shp
+
+            def aerosol_optics(c, w):
+                """Angstrom-exponent spectral aerosol optical depth
+                (tau(lambda) = tau_1um * lambda_um^-alpha,
+                utilities.c:45-74)."""
+                lam_um = 1e4 / w                             # (nw,)
+                tau = c["aero_tau1um"][:, :, None] * \
+                    lam_um[None, None, :] ** (-c["aero_alpha"][:, None, None])
+                omega = jnp.broadcast_to(c["aero_omega"][:, :, None],
+                                         tau.shape)
+                g = jnp.broadcast_to(c["aero_g"][:, :, None], tau.shape)
+                return Optics(tau, omega, g)
+
+            block_kw_lw = ({} if full else
+                           dict(block_start=start_lw, block_size=block_lw))
             vmap_od = jax.vmap(
                 lambda p, t, v, cv, iv: self.lw_gas.optical_depth(
-                    p, t, v, cfc_vmr=cv, cia_vmr=iv))
-            tau_lw = vmap_od(col["p_lev"], col["t_lev"], col["vmr"],
+                    p, t, v, cfc_vmr=cv, cia_vmr=iv, **block_kw_lw))
+            tau_lw = vmap_od(col["p_lev"], col["t_lev"], col["vmr_lw"],
                              col["cfc_vmr"], col["cia_vmr"])
-            gas_lw = Optics.from_tau(tau_lw, grid=lwg)
+            gas_lw = Optics.from_tau(tau_lw)
 
             if swg is not None:
-                sw_vmr = {k: v for k, v in col["vmr"].items()
-                          if k in self.sw_gas.molecules}
+                sw_vmr = col["vmr_sw"]
+                block_kw_sw = ({} if full else
+                               dict(block_start=start_sw,
+                                    block_size=block_sw))
                 tau_sw = jax.vmap(
                     lambda p, t, v, cv, iv: self.sw_gas.optical_depth(
-                        p, t, v, cfc_vmr=cv, cia_vmr=iv))(
+                        p, t, v, cfc_vmr=cv, cia_vmr=iv, **block_kw_sw))(
                     col["p_lev"], col["t_lev"], sw_vmr,
                     col["cfc_vmr"], col["cia_vmr"])
                 p_atm = col["p_lev"] * constants.MB_TO_ATM
                 ray = rayleigh_tau(cg.number_densities(p_atm), w_sw)
                 gasray_sw = combine([
-                    Optics.from_tau(tau_sw, grid=swg),
-                    Optics(ray, jnp.ones_like(ray), jnp.zeros_like(ray),
-                           grid=swg)])
+                    Optics.from_tau(tau_sw),
+                    Optics(ray, jnp.ones_like(ray), jnp.zeros_like(ray))])
 
             tiers = {}
 
@@ -241,21 +335,23 @@ class RadiationDriver:
                                  else None, col)
 
             if not clean:
-                aero_lw = aerosol_optics(col, lwg, w_lw)
+                aero_lw = aerosol_optics(col, w_lw)
                 opt_lw = combine([gas_lw, aero_lw])
                 opt_sw = None
                 if swg is not None:
-                    aero_sw = aerosol_optics(col, swg, w_sw)
+                    aero_sw = aerosol_optics(col, w_sw)
                     opt_sw = combine([gasray_sw, aero_sw])
                 tiers["cs"] = both(opt_lw, opt_sw, col)
 
             if not clear:
                 # All-sky aerosol-free: per-subcolumn stochastic cloud
                 # optics, fluxes averaged over subcolumns
-                # (driver.c:503-574).
+                # (driver.c:503-574).  The subcolumn sample depends only
+                # on the key + cloud state, so every spectral shard sees
+                # the same cloud realization.
                 def one_subcolumn(key):
                     liq_lw, ice_lw, liq_sw, ice_sw = self.cloud_optics(
-                        cloud_args, key, lwg, swg)
+                        cloud_args, key, w_lw, w_sw)
                     opt_lw = combine([gas_lw, liq_lw, ice_lw])
                     opt_sw = None
                     if swg is not None:
@@ -274,4 +370,42 @@ class RadiationDriver:
 
             return tiers
 
-        return jax.jit(compute)
+        if mesh is None:
+            return jax.jit(lambda col, cloud_args: core(col, cloud_args,
+                                                        0, 0))
+
+        spectral_keys = ("emis", "albedo_dir", "albedo_dif")
+
+        def local(col, cloud_args):
+            s = jax.lax.axis_index(SPECTRAL_AXIS)
+            tiers = core(col, cloud_args, s * block_lw,
+                         s * (block_sw if block_sw is not None else 0))
+            return jax.lax.psum(tiers, SPECTRAL_AXIS)
+
+        def run(col, cloud_args):
+            # Pad (B, nw) per-column spectra to S x block so they shard
+            # evenly over the spectral axis; (B,) grey surfaces replicate
+            # and broadcast inside the shard instead.
+            col = dict(col)
+            for key, blk in (("emis", block_lw), ("albedo_dir", block_sw),
+                             ("albedo_dif", block_sw)):
+                if key in col and col[key].ndim == 2:
+                    pad = S * blk - col[key].shape[-1]
+                    col[key] = jnp.pad(col[key], ((0, 0), (0, pad)))
+            in_specs = (
+                {k: (P(COLUMNS_AXIS, SPECTRAL_AXIS)
+                     if k in spectral_keys and v.ndim == 2 else
+                     jax.tree.map(lambda _: P(COLUMNS_AXIS), v))
+                 for k, v in col.items()},
+                jax.tree.map(lambda _: P(COLUMNS_AXIS), cloud_args),
+            )
+            tier_names = ["csaf"] + ([] if clean else ["cs"]) + \
+                ([] if clear else ["af"])
+            out_specs = {t: {k: P(COLUMNS_AXIS)
+                             for k in ("rlu", "rld", "rsu", "rsd")}
+                         for t in tier_names}
+            mapped = jax.shard_map(local, mesh=mesh, in_specs=in_specs,
+                                   out_specs=out_specs, check_vma=False)
+            return mapped(col, cloud_args)
+
+        return jax.jit(run)

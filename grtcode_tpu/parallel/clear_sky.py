@@ -5,16 +5,14 @@ grids (line-by-line Voigt + continua/CFC/CIA), the four-stream longwave
 solver, Rayleigh scattering + delta-Eddington/adding shortwave solver, and
 trapezoid-integrated per-level fluxes — the same per-column computation as
 the reference driver's clear-clean-sky tier
-(framework/src/driver.c:360-599), re-architected as one pure batched
-function over a (columns x spectral) device mesh.
+(framework/src/driver.c:360-599).
 
-Decomposition: the column batch shards over the "columns" mesh axis (the
-reference's SLURM `-x/-X` slices); each "spectral" shard computes a
-contiguous wavenumber block of tau and fluxes for *both* bands, and the
-band-integrated fluxes reduce with `psum`.  Spectral integration uses
-per-block trapezoid weights (half-weight at the two global band edges, zero
-in the padding of the last block), so the psum-of-blocks equals the
-single-device trapezoid exactly.
+Since round 3 this is a thin adapter over
+:meth:`grtcode_tpu.framework.driver.RadiationDriver._step` — ONE step
+implementation serves the unsharded driver, all three sky tiers, and the
+(columns x spectral) mesh decomposition (the columns axis is the
+reference's SLURM `-x/-X` slices; spectral shards psum exact per-block
+trapezoid partial integrals).
 """
 from __future__ import annotations
 
@@ -22,16 +20,11 @@ import dataclasses
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh
 
-from ..gas_optics.gas_optics import GasOptics, _pad_table
-from ..solvers.longwave import longwave_fluxes
-from ..solvers.rayleigh import rayleigh_tau
-from ..solvers.shortwave import shortwave_fluxes
+from ..framework.driver import RadiationDriver
+from ..gas_optics.gas_optics import GasOptics
 from ..solvers.solar_flux import SolarFlux
-from ..utils import curtis_godson as cg
-from .. import constants
-from .mesh import COLUMNS_AXIS, SPECTRAL_AXIS
 
 DIFFUSE_MU = 0.5
 
@@ -65,15 +58,6 @@ def _unstack(gas: GasOptics, rows, group: str):
     return {i: rows[..., k, :] for k, i in enumerate(ids)}
 
 
-def _trapezoid_weights(start, block, n_global, dw):
-    """Per-block integration weights: dw everywhere, dw/2 at the two global
-    band edges, 0 beyond the grid (padding of the last shard)."""
-    gidx = start + jnp.arange(block, dtype=jnp.int32)
-    valid = gidx < n_global
-    edge = (gidx == 0) | (gidx == n_global - 1)
-    return jnp.where(valid, jnp.where(edge, 0.5, 1.0), 0.0) * jnp.float32(dw)
-
-
 @dataclasses.dataclass
 class ClearSkyRT:
     """Two-band clear(-clean)-sky radiative transfer over a device mesh.
@@ -89,77 +73,6 @@ class ClearSkyRT:
     sw_gas: GasOptics | None = None
     solar: SolarFlux | None = None
 
-    # -- batched columns, one spectral block per band -----------------------
-    def _fluxes(self, col, start_lw, block_lw, start_sw, block_sw,
-                solar_padded):
-        """col: dict of batched arrays ((B, ...) leading axis).  Returns
-        partial band-integrated per-level fluxes (rlu, rld, rsu, rsd),
-        each (B, nlevels).  The gas-optics line passes run once over the
-        flattened (B x layer) rows — one dense (Pallas) kernel launch per
-        molecule instead of a vmap replay."""
-        p_lev, t_lev = col["p_lev"], col["t_lev"]
-        B = p_lev.shape[0]
-        t_layers = 0.5 * (t_lev[:, :-1] + t_lev[:, 1:])
-
-        lwg = self.lw_gas.grid
-        full_lw = block_lw == lwg.n
-        tau_lw = self.lw_gas.optical_depth(
-            p_lev, t_lev, _unstack(self.lw_gas, col["vmr_lw"], "molecules"),
-            cfc_vmr=_unstack(self.lw_gas, col.get("cfc_vmr_lw", ()), "cfcs")
-            if self.lw_gas.cfcs else None,
-            cia_vmr=_unstack(self.lw_gas, col.get("cia_vmr_lw", ()), "cias")
-            if self.lw_gas.cias else None,
-            block_start=None if full_lw else start_lw,
-            block_size=None if full_lw else block_lw)
-        w_lw = jnp.float32(lwg.w0) + \
-            (start_lw + jnp.arange(block_lw, dtype=jnp.int32)).astype(
-                jnp.float32) * jnp.float32(lwg.dw)
-        emis = jnp.broadcast_to(col["emis"][..., None],
-                                (B, block_lw)).astype(jnp.float32)
-        flu, fld = longwave_fluxes(tau_lw, jnp.zeros_like(tau_lw),
-                                   col["t_surf"], t_layers, t_lev, emis, w_lw)
-        wts = _trapezoid_weights(start_lw, block_lw, lwg.n, lwg.dw)
-        rlu = (flu * wts).sum(-1)
-        rld = (fld * wts).sum(-1)
-
-        if self.sw_gas is None:
-            zeros = jnp.zeros_like(rlu)
-            return rlu, rld, zeros, zeros
-
-        swg = self.sw_gas.grid
-        full_sw = block_sw == swg.n
-        tau_sw = self.sw_gas.optical_depth(
-            p_lev, t_lev, _unstack(self.sw_gas, col["vmr_sw"], "molecules"),
-            block_start=None if full_sw else start_sw,
-            block_size=None if full_sw else block_sw)
-        w_sw = jnp.float32(swg.w0) + \
-            (start_sw + jnp.arange(block_sw, dtype=jnp.int32)).astype(
-                jnp.float32) * jnp.float32(swg.dw)
-        p_atm = jnp.asarray(p_lev, jnp.float32) * constants.MB_TO_ATM
-        n_air = cg.number_densities(p_atm)
-        tau_ray = jax.vmap(rayleigh_tau, in_axes=(0, None))(n_air, w_sw)
-        tau_tot = tau_sw + tau_ray
-        omega = jnp.where(tau_tot > 0.0, tau_ray / jnp.maximum(tau_tot, 1e-30),
-                          0.0)
-        g = jnp.zeros_like(tau_tot)
-        sol = jax.lax.dynamic_slice_in_dim(
-            solar_padded, jnp.asarray(start_sw, jnp.int32), block_sw)
-        a_dir = jnp.broadcast_to(col["albedo_dir"][..., None],
-                                 (B, block_sw)).astype(jnp.float32)
-        a_dif = jnp.broadcast_to(col["albedo_dif"][..., None],
-                                 (B, block_sw)).astype(jnp.float32)
-        mu = jnp.maximum(col["mu_dir"], 1e-6)
-        mu_dif = jnp.full((B,), DIFFUSE_MU, jnp.float32)
-        fsu, fsd = shortwave_fluxes(tau_tot, omega, g, mu, mu_dif,
-                                    a_dir, a_dif, col["tsi"], sol)
-        # Zero the SW pass for night columns (driver.c:706: cos(theta) > 0).
-        day = (col["mu_dir"] > 0.0).astype(jnp.float32)[:, None]
-        wts_sw = _trapezoid_weights(start_sw, block_sw, swg.n, swg.dw)
-        rsu = (fsu * wts_sw).sum(-1) * day
-        rsd = (fsd * wts_sw).sum(-1) * day
-        return rlu, rld, rsu, rsd
-
-    # -- batched step ------------------------------------------------------
     def step(self, mesh: Mesh | None = None):
         """Build the jitted batched step function.
 
@@ -174,53 +87,42 @@ class ClearSkyRT:
         With a mesh, the batch axis shards over "columns" and each band's
         spectral grid splits into contiguous blocks over "spectral".
         """
-        lwg = self.lw_gas.grid
-        swg = self.sw_gas.grid if self.sw_gas is not None else None
-        if self.sw_gas is not None:
-            if self.solar is None:
-                raise ValueError("sw_gas set but no solar flux")
-            solar_arr = self.solar.incident_flux
-        else:
-            solar_arr = jnp.zeros((1,), jnp.float32)
+        if self.sw_gas is not None and self.solar is None:
+            raise ValueError("sw_gas set but no solar flux")
+        driver = RadiationDriver(lw_gas=self.lw_gas, sw_gas=self.sw_gas,
+                                 solar=self.solar)
+        inner = driver._step(clean=True, clear=True, integrated=True,
+                             mesh=mesh)
+        has_sw = self.sw_gas is not None
 
-        if mesh is None:
-            def run(batch):
-                rlu, rld, rsu, rsd = self._fluxes(
-                    batch, start_lw=0, block_lw=lwg.n, start_sw=0,
-                    block_sw=swg.n if swg is not None else 1,
-                    solar_padded=solar_arr)
-                return {"rlu": rlu, "rld": rld, "rsu": rsu, "rsd": rsd}
-            return jax.jit(run)
+        def fn(batch):
+            t_lev = jnp.asarray(batch["t_lev"], jnp.float32)
+            col = {
+                "p_lev": jnp.asarray(batch["p_lev"], jnp.float32),
+                "t_lev": t_lev,
+                "t_lay": 0.5 * (t_lev[:, :-1] + t_lev[:, 1:]),
+                "t_surf": jnp.asarray(batch["t_surf"], jnp.float32),
+                "emis": jnp.asarray(batch["emis"], jnp.float32),
+                "vmr_lw": _unstack(self.lw_gas, batch["vmr_lw"],
+                                   "molecules"),
+                "cfc_vmr": (_unstack(self.lw_gas, batch["cfc_vmr_lw"],
+                                     "cfcs")
+                            if "cfc_vmr_lw" in batch else {}),
+                "cia_vmr": (_unstack(self.lw_gas, batch["cia_vmr_lw"],
+                                     "cias")
+                            if "cia_vmr_lw" in batch else {}),
+            }
+            if has_sw:
+                col.update({
+                    "mu": jnp.asarray(batch["mu_dir"], jnp.float32),
+                    "tsi": jnp.asarray(batch["tsi"], jnp.float32),
+                    "albedo_dir": jnp.asarray(batch["albedo_dir"],
+                                              jnp.float32),
+                    "albedo_dif": jnp.asarray(batch["albedo_dif"],
+                                              jnp.float32),
+                    "vmr_sw": _unstack(self.sw_gas, batch["vmr_sw"],
+                                       "molecules"),
+                })
+            return inner(col, None)["csaf"]
 
-        S = mesh.shape[SPECTRAL_AXIS]
-
-        def _block(n, tile):
-            """ceil(n / S) rounded up to the gas-optics tile (tiled
-            accumulation requires tile-aligned block starts)."""
-            return -(-(-(-n // S)) // tile) * tile
-
-        block_lw = _block(lwg.n, self.lw_gas.tile)
-        block_sw = _block(swg.n, self.sw_gas.tile) if swg is not None else 1
-        solar_padded = (_pad_table(solar_arr, block_sw)
-                        if swg is not None else solar_arr)
-
-        def local(batch):
-            s = jax.lax.axis_index(SPECTRAL_AXIS)
-            rlu, rld, rsu, rsd = self._fluxes(
-                batch, start_lw=s * block_lw, block_lw=block_lw,
-                start_sw=s * block_sw, block_sw=block_sw,
-                solar_padded=solar_padded)
-            out = {"rlu": rlu, "rld": rld, "rsu": rsu, "rsd": rsd}
-            return jax.lax.psum(out, SPECTRAL_AXIS)
-
-        shard_map = jax.shard_map
-
-        def run(batch):
-            in_specs = (jax.tree.map(lambda _: P(COLUMNS_AXIS), batch),)
-            out_specs = {k: P(COLUMNS_AXIS)
-                         for k in ("rlu", "rld", "rsu", "rsd")}
-            mapped = shard_map(local, mesh=mesh, in_specs=in_specs,
-                               out_specs=out_specs, check_vma=False)
-            return mapped(batch)
-
-        return jax.jit(run)
+        return jax.jit(fn)

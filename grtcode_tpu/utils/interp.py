@@ -119,3 +119,14 @@ def angstrom_exponent_sample(x, y, newx):
     newx = xp.asarray(newx)
     alpha = xp.log(y[1] / y[0]) / xp.log(x[0] / x[1])
     return y[0] * (x[0] / newx) ** alpha
+
+
+def block_trapezoid_weights(start, block, n_global, dw):
+    """Per-spectral-block trapezoid weights: dw everywhere, dw/2 at the two
+    global band edges, 0 beyond the grid (padding of the last shard), so a
+    psum of per-block weighted sums equals the single-device trapezoid
+    exactly (driver.c:306-312 semantics under spectral sharding)."""
+    gidx = start + jnp.arange(block, dtype=jnp.int32)
+    valid = gidx < n_global
+    edge = (gidx == 0) | (gidx == n_global - 1)
+    return jnp.where(valid, jnp.where(edge, 0.5, 1.0), 0.0) * jnp.float32(dw)

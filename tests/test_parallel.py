@@ -92,3 +92,67 @@ def test_fluxes_physical(reference_fluxes):
         v = reference_fluxes[k]
         assert np.isfinite(v).all(), k
         assert (v >= -1e-3).all(), k
+
+
+# -- All three sky tiers under the (columns x spectral) mesh -----------------
+def _tile_atmosphere(atm, B):
+    """Replicate a B=1 Atmosphere to B columns (with a tiny temperature
+    spread so columns are not identical)."""
+    import copy
+    import dataclasses as dc
+
+    out = copy.copy(atm)
+    batch_only = {"cos_zenith", "total_solar_irradiance",
+                  "surface_temperature"}
+    for f in dc.fields(atm):
+        v = getattr(atm, f.name)
+        if isinstance(v, (list, tuple)) and len(v) == 1:
+            v = np.asarray(v)
+        if isinstance(v, np.ndarray) and v.ndim >= 1 and v.shape[0] == 1 \
+                and (v.ndim > 1 or f.name in batch_only):
+            setattr(out, f.name, np.repeat(v, B, axis=0))
+        elif isinstance(v, dict):
+            setattr(out, f.name,
+                    {k: np.repeat(a, B, axis=0) for k, a in v.items()})
+    out.level_temperature = out.level_temperature + \
+        np.linspace(0.0, 2.0, B)[:, None]
+    out.layer_temperature = 0.5 * (out.level_temperature[:, :-1]
+                                   + out.level_temperature[:, 1:])
+    return out
+
+
+def test_three_tier_driver_sharded_matches_single():
+    """The unified RadiationDriver step: clear-clean + aerosol + all-sky
+    tiers produce the same integrated fluxes on a (columns x spectral)
+    mesh as unsharded (one code path, three tiers, sharded — the gap
+    VERDICT r2 flagged between framework/driver.py and ClearSkyRT)."""
+    from grtcode_tpu.apps import circ
+    from grtcode_tpu.spectral import SpectralGrid
+    from grtcode_tpu.clouds.lib import CloudOpticsLib
+    from tests.test_clouds import synthetic_pade_table
+
+    atm = _tile_atmosphere(
+        circ.case1_atmosphere(clean=False, clear=False), 2)
+    atm.cloud_fraction[:, 44:48] = 0.999
+    atm.liquid_water_content[:, 44:48] = 0.25
+    atm.cloud_fraction[:, 20:23] = 0.999
+    atm.ice_water_content[:, 20:23] = 0.02
+    drv = circ.build_driver(lw_grid=SpectralGrid(1.0, 3250.0, 4.0),
+                            sw_grid=SpectralGrid(1.0, 50000.0, 10.0),
+                            line_chunk=64)
+    drv.cloud_optics = CloudOpticsLib(
+        liquid=synthetic_pade_table(nbnd=16, w0=1.0, wn=50000.0, seed=0),
+        ice=synthetic_pade_table(nbnd=16, w0=1.0, wn=50000.0, seed=1),
+    ).driver_callback()
+
+    full = drv.run(atm, integrated=True)
+    sharded = drv.run(atm, integrated=True, mesh=make_mesh(2, 4))
+    assert set(sharded.tiers) == {"csaf", "cs", "af"}
+    for tier in ("csaf", "cs", "af"):
+        for var in ("rlu", "rld", "rsu", "rsd"):
+            ref = np.asarray(full.tiers[tier][var])
+            got = np.asarray(sharded.tiers[tier][var])
+            scale = np.abs(ref).max() + 1e-6
+            np.testing.assert_allclose(
+                got / scale, ref / scale, atol=2e-5,
+                err_msg=f"{tier}/{var}")

@@ -180,22 +180,50 @@ def load_atmosphere(era5_path: str, ghg_path: str, year: int,
 
 
 def write_fluxes(path: str, results, shape_tyx: tuple, lon_start: int,
-                 lon_stop: int, lon_global_size: int, tier: str = "csaf"):
-    """Write (time, lat, lon, level) flux variables with the segment-merge
-    attributes the combiner relies on (era5.c:156-159, 880-955)."""
+                 lon_stop: int, lon_global_size: int, tier: str = "csaf",
+                 lw_grid=None, sw_grid=None):
+    """Write flux variables with the segment-merge attributes the combiner
+    relies on (era5.c:156-159, 880-955).
+
+    Integrated results -> (time, lat, lon, level) profiles; spectrally
+    resolved results (results.integrated False) -> the reference's 4-D
+    (time, lat, lon, wavenumber) TOA/surface variables on
+    lw_wavenumber/sw_wavenumber dims (era5.c:880-955)."""
     T, Y, X = shape_tyx
     tiers = results.tiers[tier]
-    nlev = tiers["rlu"].shape[-1]
+    nlev = tiers["rlu"].shape[1]
     with Writer(path) as w:
         w.create_dimension("time", T)
         w.create_dimension("lat", Y)
         w.create_dimension("lon", X)
-        w.create_dimension("level", nlev)
-        for key, name in (("rlu", "rlu"), ("rld", "rld"),
-                          ("rsu", "rsu"), ("rsd", "rsd")):
-            w.create_variable(name, ("time", "lat", "lon", "level"),
-                              np.asarray(tiers[key]).reshape(T, Y, X, nlev),
-                              units="W m-2")
+        if results.integrated:
+            w.create_dimension("level", nlev)
+            for key, name in (("rlu", "rlu"), ("rld", "rld"),
+                              ("rsu", "rsu"), ("rsd", "rsd")):
+                w.create_variable(
+                    name, ("time", "lat", "lon", "level"),
+                    np.asarray(tiers[key]).reshape(T, Y, X, nlev),
+                    units="W m-2")
+        else:
+            if lw_grid is None:
+                raise ValueError("spectral output needs lw_grid")
+            w.create_dimension("lw_wavenumber", lw_grid.n,
+                               values=lw_grid.wavenumbers_np())
+            if sw_grid is not None:
+                w.create_dimension("sw_wavenumber", sw_grid.n,
+                                   values=sw_grid.wavenumbers_np())
+            for name, key, lev in (("rlut", "rlu", 0), ("rlus", "rlu", -1),
+                                   ("rlds", "rld", -1), ("rsut", "rsu", 0),
+                                   ("rsus", "rsu", -1), ("rsds", "rsd", -1),
+                                   ("rsdt", "rsd", 0)):
+                wdim = ("lw_wavenumber" if key[1] == "l"
+                        else "sw_wavenumber")
+                if wdim == "sw_wavenumber" and sw_grid is None:
+                    continue   # LW-only configuration (era5.c:406-415)
+                data = np.asarray(tiers[key])[:, lev]
+                w.create_variable(
+                    name, ("time", "lat", "lon", wdim),
+                    data.reshape(T, Y, X, data.shape[-1]), units="W m-2")
         w.set_global(lon_start=lon_start, lon_stop=lon_stop,
                      lon_global_size=lon_global_size)
 
@@ -255,7 +283,8 @@ def main(argv=None):
     Y_ = len(range(*ys.indices(nlat)))
     X_ = len(range(*xs.indices(nlon)))
     write_fluxes(args.output, res, (T_, Y_, X_), lon_start=args.x,
-                 lon_stop=args.x + X_ - 1, lon_global_size=nlon)
+                 lon_stop=args.x + X_ - 1, lon_global_size=nlon,
+                 lw_grid=lw_grid, sw_grid=sw_grid if args.sw else None)
     print(f"wrote {args.output}")
 
 

@@ -158,27 +158,80 @@ def load_atmosphere(path: str, experiment: int, x: int = 0,
     )
 
 
+# (output name, band, direction, level index, standard_name) — the
+# reference's create_flux_file variable surface (rfmip-irf.c:574-650).
+_REF_VARS = (
+    ("rlutcsaf", "rlu", 0, "upwelling_toa_longwave_flux_in_air"),
+    ("rluscsaf", "rlu", -1, "upwelling_surface_longwave_flux_in_air"),
+    ("rldscsaf", "rld", -1, "downwelling_surface_longwave_flux_in_air"),
+    ("rsutcsaf", "rsu", 0, "upwelling_toa_shortwave_flux_in_air"),
+    ("rsuscsaf", "rsu", -1, "upwelling_surface_shortwave_flux_in_air"),
+    ("rsdtcsaf", "rsd", 0, "downwelling_toa_shortwave_flux_in_air"),
+    ("rsdscsaf", "rsd", -1, "downwelling_surface_shortwave_flux_in_air"),
+)
+_USER_VARS = (
+    ("rlucsaf_level", "rlu", "upwelling_longwave_flux_in_air"),
+    ("rldcsaf_level", "rld", "downwelling_longwave_flux_in_air"),
+    ("rsucsaf_level", "rsu", "upwelling_shortwave_flux_in_air"),
+    ("rsdcsaf_level", "rsd", "downwelling_shortwave_flux_in_air"),
+)
+
+
 def write_fluxes(path: str, results, level_pressure, x: int = 0,
-                 user_level: int | None = None):
-    """Write the 12 clear-sky-aerosol-free flux variables (+ user-level
-    scalars) the reference's create_flux_file defines
-    (rfmip-irf.c:468-560); integrated output is (col, level)."""
+                 user_level: int | None = None, lw_grid=None, sw_grid=None):
+    """Write the clear-sky-aerosol-free flux file.
+
+    Mirrors the reference's create_flux_file (rfmip-irf.c:574-650): the 7
+    TOA/surface variables + 4 user-level variables, each either (column,)
+    integrated or (column, lw_wavenumber|sw_wavenumber) spectrally
+    resolved (results.integrated selects, the reference's -integrated
+    flag), plus the x_start/x_stop segment attributes.  Full (col, level)
+    profiles are written additionally in integrated mode (the per-level
+    regression contract of rfmip-irf/test/check_results.c).
+    """
     tiers = results.tiers["csaf"]
     ncol, nlev = tiers["rlu"].shape[:2]
+    integrated = results.integrated
     with Writer(path) as w:
-        w.create_dimension("col", ncol, values=np.arange(x, x + ncol))
+        w.create_dimension("column", ncol, values=np.arange(x, x + ncol))
         w.create_dimension("level", nlev)
-        names = {"rlu": "rlucsaf", "rld": "rldcsaf",
-                 "rsu": "rsucsaf", "rsd": "rsdcsaf"}
-        for key, out_name in names.items():
-            w.create_variable(out_name, ("col", "level"), tiers[key],
-                              units="W m-2")
-        w.create_variable("level_pressure", ("col", "level"),
-                          level_pressure, units="mb")
+        if not integrated:
+            if lw_grid is None or sw_grid is None:
+                raise ValueError("spectral output needs lw_grid/sw_grid")
+            w.create_dimension("lw_wavenumber", lw_grid.n,
+                               values=lw_grid.wavenumbers_np())
+            w.create_dimension("sw_wavenumber", sw_grid.n,
+                               values=sw_grid.wavenumbers_np())
+
+        def spectral_dim(key):
+            return "lw_wavenumber" if key[1] == "l" else "sw_wavenumber"
+
+        for out_name, key, lev, std in _REF_VARS:
+            data = np.asarray(tiers[key])[:, lev]
+            dims = ("column",) if integrated \
+                else ("column", spectral_dim(key))
+            w.create_variable(out_name, dims, data, units="W m-2",
+                              standard_name=std)
         if user_level is not None:
+            for out_name, key, std in _USER_VARS:
+                data = np.asarray(tiers[key])[:, user_level]
+                dims = ("column",) if integrated \
+                    else ("column", spectral_dim(key))
+                w.create_variable(out_name, dims, data, units="W m-2",
+                                  standard_name=std, level=user_level)
+        if integrated:
+            names = {"rlu": "rlucsaf", "rld": "rldcsaf",
+                     "rsu": "rsucsaf", "rsd": "rsdcsaf"}
             for key, out_name in names.items():
-                w.create_variable(out_name + "_user_level", ("col",),
-                                  tiers[key][:, user_level], units="W m-2")
+                w.create_variable(out_name, ("column", "level"), tiers[key],
+                                  units="W m-2")
+            w.create_variable("level_pressure", ("column", "level"),
+                              level_pressure, units="mb")
+            if user_level is not None:
+                for key, out_name in names.items():
+                    w.create_variable(out_name + "_user_level", ("column",),
+                                      tiers[key][:, user_level],
+                                      units="W m-2")
         w.set_global(x_start=x, x_stop=x + ncol - 1)
 
 
@@ -212,7 +265,8 @@ def main(argv=None):
                           sw_grid=sw_grid, wcutoff=args.line_cutoff)
     res = driver.run(atm, integrated=args.integrated)
     write_fluxes(args.output, res, atm.level_pressure, x=args.x,
-                 user_level=args.flux_at_level)
+                 user_level=args.flux_at_level, lw_grid=lw_grid,
+                 sw_grid=sw_grid)
     print(f"wrote {args.output}")
 
 

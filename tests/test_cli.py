@@ -1,0 +1,53 @@
+"""CLI smoke tests: the three app main()s parse flags and run end-to-end.
+
+The reference's binaries are exercised by its shell-script integration
+tests (circ/test/test_circ, rfmip-irf/test/test_rfmip_irf); these are the
+equivalent for the Python entry points — an argparse typo or broken
+wiring in main() fails here, not in production.
+"""
+import os
+
+import h5py
+import numpy as np
+import pytest
+
+from grtcode_tpu.apps import circ, era5, rfmip
+
+# Reuse the app test fixtures (synthetic netCDF inputs).
+from tests.test_rfmip import input_file  # noqa: F401
+from tests.test_era5 import era5_file, ghg_file  # noqa: F401
+from tests.test_era5 import T as ERA5_T, Y as ERA5_Y, X as ERA5_X
+
+COARSE = ["-r-lw", "4.0", "-r-sw", "10.0"]
+
+
+def test_circ_main(capsys):
+    circ.main(["none", "none"] + COARSE)
+    out = capsys.readouterr().out
+    assert "RLUTCSAF" in out and "LBLRTM" in out
+    # Transparent-gas run still produces the exact TSI*mu SW TOA value.
+    for line in out.splitlines():
+        if line.startswith("RSDTCSAF"):
+            assert abs(float(line.split()[1]) - 912.80) < 1.0
+
+
+def test_rfmip_main(input_file, tmp_path):  # noqa: F811
+    out = str(tmp_path / "rfmip_out.nc")
+    rfmip.main(["none", "none", input_file, "2", "-integrated",
+                "-flux-at-level", "3", "-x", "1", "-X", "3",
+                "-o", out] + COARSE)
+    with h5py.File(out, "r") as f:
+        assert f["rlutcsaf"].shape == (3,)
+        assert f.attrs["x_start"] == 1 and f.attrs["x_stop"] == 3
+        assert np.isfinite(np.asarray(f["rlucsaf"])).all()
+
+
+def test_era5_main(era5_file, ghg_file, tmp_path):  # noqa: F811
+    out = str(tmp_path / "era5_out.nc")
+    era5.main(["none", "none", era5_file, ghg_file, "-year", "1",
+               "-clear", "-integrated", "-o", out] + COARSE)
+    with h5py.File(out, "r") as f:
+        rlu = np.asarray(f["rlu"])
+        assert rlu.shape[:3] == (ERA5_T, ERA5_Y, ERA5_X)
+        assert np.isfinite(rlu).all()
+        assert f.attrs["lon_global_size"] == ERA5_X

@@ -108,3 +108,28 @@ def test_lw_only_run_and_segments(era5_file, ghg_file, tmp_path):
         np.asarray(full.tiers["csaf"]["rlu"]), rtol=1e-6)
     # SW fluxes all zero (no sw_gas / night columns).
     assert np.all(np.asarray(full.tiers["csaf"]["rsu"]) == 0.0)
+
+
+def test_spectral_output(era5_file, ghg_file, tmp_path):
+    """Spectrally-resolved ERA5 output: 4-D (time, lat, lon, wavenumber)
+    TOA/surface variables on the lw_wavenumber dim (era5.c:880-955;
+    LW-only like the shipped binary)."""
+    lw_grid = SpectralGrid(1.0, 500.0, 1.0)
+    drv = era5.build_driver(lw_grid=lw_grid, line_chunk=64)
+    atm = era5.load_atmosphere(era5_file, ghg_file, year=1, clear=True)
+    res = drv.run(atm, integrated=False)
+    path = str(tmp_path / "spectral.nc")
+    era5.write_fluxes(path, res, (T, Y, X), lon_start=0, lon_stop=X - 1,
+                      lon_global_size=X, lw_grid=lw_grid)
+    with h5py.File(path, "r") as f:
+        assert f["lw_wavenumber"].shape == (lw_grid.n,)
+        for name in ("rlut", "rlus", "rlds"):
+            assert f[name].shape == (T, Y, X, lw_grid.n), name
+        assert "rsut" not in f          # LW-only configuration
+        from grtcode_tpu.utils.interp import trapezoid_uniform
+        res_int = drv.run(atm, integrated=True)
+        np.testing.assert_allclose(
+            trapezoid_uniform(np.asarray(f["rlut"]), lw_grid.dw, axis=-1)
+            .reshape(-1),
+            np.asarray(res_int.tiers["csaf"]["rlu"][:, 0]),
+            rtol=2e-5, atol=1e-4)

@@ -124,3 +124,39 @@ def test_end_to_end_run_and_output(input_file, tmp_path):
         np.testing.assert_allclose(np.asarray(f["rsdcsaf"])[:, 0], rsdt,
                                    rtol=1e-6)
         assert f.attrs["x_start"] == 0
+        # Reference create_flux_file variable surface
+        # (rfmip-irf.c:574-650): integrated -> (column,).
+        for name in ("rlutcsaf", "rluscsaf", "rldscsaf", "rsutcsaf",
+                     "rsuscsaf", "rsdtcsaf", "rsdscsaf", "rlucsaf_level",
+                     "rldcsaf_level", "rsucsaf_level", "rsdcsaf_level"):
+            assert f[name].shape == (NSITE,), name
+        np.testing.assert_allclose(np.asarray(f["rsdtcsaf"]), rsdt,
+                                   rtol=1e-6)
+        assert f["rldcsaf_level"].attrs["level"] == 5
+
+
+def test_spectral_output(input_file, tmp_path):
+    """Spectrally-resolved flux file: lw_wavenumber/sw_wavenumber dims
+    (rfmip-irf.c:494-501), trapezoid-consistent with integrated mode."""
+    atm = rfmip.load_atmosphere(input_file, experiment=2)
+    lw_grid = SpectralGrid(1.0, 500.0, 2.0)
+    sw_grid = SpectralGrid(2000.0, 20000.0, 10.0)
+    drv = circ.build_driver(lw_grid=lw_grid, sw_grid=sw_grid, line_chunk=64)
+    res = drv.run(atm, integrated=False)
+    out = str(tmp_path / "spectral.nc")
+    rfmip.write_fluxes(out, res, atm.level_pressure, user_level=5,
+                       lw_grid=lw_grid, sw_grid=sw_grid)
+    with h5py.File(out, "r") as f:
+        assert f["lw_wavenumber"].shape == (lw_grid.n,)
+        assert f["rlutcsaf"].shape == (NSITE, lw_grid.n)
+        assert f["rsdtcsaf"].shape == (NSITE, sw_grid.n)
+        assert f["rsdcsaf_level"].shape == (NSITE, sw_grid.n)
+        # The spectral variable trapezoid-integrates to the integrated
+        # variable (output_fluxes, driver.c:306-312).
+        from grtcode_tpu.utils.interp import trapezoid_uniform
+        spec = np.asarray(f["rlutcsaf"])
+        res_int = drv.run(atm, integrated=True)
+        np.testing.assert_allclose(
+            trapezoid_uniform(spec, lw_grid.dw, axis=-1),
+            np.asarray(res_int.tiers["csaf"]["rlu"][:, 0]),
+            rtol=2e-5, atol=1e-4)

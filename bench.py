@@ -23,10 +23,12 @@ the Pallas custom call) as TFLOP/s, and that as a fraction of a nominal 4
 TFLOP/s v5e f32 VPU peak (the Voigt path is elementwise VPU work, not MXU
 matmuls, so bf16 MXU peak is not the right denominator).  Model, per
 molecule with padded line count L and rows = B x layers
-(pallas_kernels.py _voigt_kernel):
+(pallas_kernels.py _voigt_kernel, three far-wing zones):
   far wings:  every line is evaluated at every grid point within
-              +-(fsteps + shift margin) of its tile span — ~20 VPU ops per
-              (line, row, point) -> L*rows*(2*(fsteps+margin)+tile)*20
+              +-(fsteps + shift margin) of its tile span; per point the
+              zone sets the cost — core-adjacent (region-0/1 select +
+              both masks) ~25 VPU ops, interior pure-region-0 unmasked
+              ~12, edge (region 0 + window mask) ~17
   near core:  full Humlicek at 2*hw+1 offsets (~60 VPU ops) plus the
               one-hot MXU placement (2*tile MACs per offset)
               -> L*rows*(2*hw+1)*(60 + 2*tile)
@@ -249,6 +251,8 @@ def main():
     print(f"compile+first step: {time.perf_counter() - t0:.1f}s",
           file=sys.stderr)
 
+    from grtcode_tpu.gas_optics import lines as lines_mod
+
     flops = 0.0
     rows = B * nlayers
     for gas in (lw_gas, sw_gas):
@@ -257,7 +261,13 @@ def main():
             L = int(bound.num_lines)
             hw = gas.near_hw[mol_id]
             margin = hw - gas.near_steps[mol_id]
-            far = (2 * (fsteps + margin) + gas.tile) * 20
+            reach0 = max(lines_mod.region0_halfwidth(bound, gas.grid.dw),
+                         hw) + margin
+            total = 2 * (fsteps + margin) + gas.tile
+            core = min(2 * reach0 + gas.tile, total)
+            interior = 2 * max(fsteps - margin - gas.tile - reach0 + 1, 0)
+            edge = max(total - core - interior, 0)
+            far = core * 25 + interior * 12 + edge * 17
             near = (2 * hw + 1) * (60 + 2 * gas.tile)
             flops += float(L) * rows * (far + near)
         # Continua/CFC/CIA + solver work: ~a few e9, negligible next to

@@ -71,7 +71,7 @@ class GasOptics:
     near_steps: dict = dataclasses.field(default_factory=dict)  # id -> int
     near_hw: dict = dataclasses.field(default_factory=dict)    # id -> int
     point_ranges: dict = dataclasses.field(default_factory=dict)  # id -> PointRanges
-    chunk_ranges: dict = dataclasses.field(default_factory=dict)  # id -> (lo, nchunks, cnl, cnh, lpad)
+    chunk_ranges: dict = dataclasses.field(default_factory=dict)  # id -> pk.ChunkRanges
     cfcs: dict = dataclasses.field(default_factory=dict)       # id -> table
     cias: list = dataclasses.field(default_factory=list)       # (id1, id2, table)
 
@@ -152,7 +152,8 @@ class GasOptics:
             padded, self.grid.n, near, shift_margin=margin)
         self.chunk_ranges[catalog.mol_id] = pk.build_chunk_ranges(
             padded.c0, self.grid.n, fsteps, self.tile, self.pallas_ch,
-            shift_margin=margin, near_hw=near + margin)
+            shift_margin=margin, near_hw=near + margin,
+            region0_hw=lines_mod.region0_halfwidth(padded, self.grid.dw))
 
     def add_cfc(self, cfc_id, path: str):
         table = CrossSectionTable.from_file(int(cfc_id), path, self.grid)
@@ -268,13 +269,12 @@ class GasOptics:
                 # NOTE: block_start must be a multiple of self.tile.
                 if self._use_pallas():
                     # One fused kernel covers both sides of the split.
-                    lo, nchunks, cnl, cnh, lpad = self.chunk_ranges[mol_id]
                     tau = pk.accumulate_voigt_pallas(
-                        prep, bound.c0, ns, (lo, nchunks, cnl, cnh),
+                        prep, bound.c0, ns, self.chunk_ranges[mol_id],
                         num_wpoints=nw, dw=float(self.grid.dw),
                         fsteps=self._fsteps, near=near,
                         hw=self.near_hw[mol_id], tile=self.tile,
-                        ch=self.pallas_ch, lpad=lpad,
+                        ch=self.pallas_ch,
                         num_global=self.grid.n, tau0=tau, start=start,
                         interpret=self.pallas == "interpret")
                 else:

@@ -13,9 +13,21 @@ residency and double-buffered HBM DMA:
     contiguous index range [lo_t, lo_t + CH * nchunks_t) — streamed from
     HBM in CH-line chunks with two overlapping DMAs (no gather).
   * **Far wings** (|grid offset from line center| > near): Humlicek
-    regions 0/1 + pure-Lorentz — ~19 VPU ops per (line, row, point).
-    All per-(row, line) factors that don't depend on the grid point are
-    precomputed once by XLA into a (NCH, lines, rows) channel stack.
+    regions 0/1 + pure-Lorentz.  All per-(row, line) factors that don't
+    depend on the grid point are precomputed once by XLA into a
+    (NCH, lines, rows) channel stack.  Chunks are host-classified into
+    three zones per tile (build_chunk_ranges):
+      - *core-adjacent* [m0l, m0h): some line is within region0_hw of the
+        tile — full region-0/1 select + window/near masks (~25 VPU ops).
+      - *interior* [fll, flh) u [frl, frh): every line covers the whole
+        tile, is beyond region0_hw (so |x| >= 124 => pure region 0 for
+        every y, lines.region0_halfwidth), and cannot shift off the grid
+        — K = snum0/(xq+yq) with NO masks (~12 VPU ops).  This is the
+        bulk of the work: region0_hw is ~10 grid points at LW resolution
+        while the line_sample window is ~250.
+      - *edge*: pure region 0 + the window mask only (~17 ops).
+    The zone split is bit-exact: it only skips selects whose outcome is
+    host-provably constant.
   * **Near core** (|offset| <= near): the full RFM Humlicek region
     scheme (regions 0-4) evaluated at a static window of ``2*hw + 1``
     offsets around each line's *unshifted* grid index c0, then placed
@@ -33,6 +45,7 @@ kernel denser instead of replaying it under vmap.
 """
 from __future__ import annotations
 
+import dataclasses
 import functools
 
 import jax
@@ -219,7 +232,8 @@ def _humlicek_eval(xi, xq, y, yq, a0, d0, d2, coeffs):
                             jnp.where(abx < xlim3, k3, k4))))
 
 
-def _voigt_kernel(lo_ref, nchunks_ref, cnl_ref, cnh_ref, start_ref, params,
+def _voigt_kernel(lo_ref, nchunks_ref, cnl_ref, cnh_ref, m0l_ref, m0h_ref,
+                  fll_ref, flh_ref, frl_ref, frh_ref, start_ref, params,
                   out_ref, buf, sems, *, tile: int, ch: int, fsteps: int,
                   near: int, hw: int, rblock: int, include_near: bool,
                   num_global: int, punroll: int = PUNROLL,
@@ -230,6 +244,12 @@ def _voigt_kernel(lo_ref, nchunks_ref, cnl_ref, cnh_ref, start_ref, params,
     nchunks = nchunks_ref[t]
     cnl = cnl_ref[t]
     cnh = cnh_ref[t]
+    m0l = m0l_ref[t]
+    m0h = m0h_ref[t]
+    fll = fll_ref[t]
+    flh = flh_ref[t]
+    frl = frl_ref[t]
+    frh = frh_ref[t]
     g0 = (start_ref[0] + t * tile).astype(jnp.float32)
 
     out_ref[:] = jnp.zeros_like(out_ref)
@@ -275,32 +295,60 @@ def _voigt_kernel(lo_ref, nchunks_ref, cnl_ref, cnh_ref, start_ref, params,
         cidx = c0 + adj
         frac = ftot - adj
 
-        # --- Far wings: regions 0/1 over the whole tile. ----------------
+        # --- Far wings, three host-classified zones (see module doc). ---
         # Points are processed PUNROLL at a time so the channel reads
-        # from VMEM amortize over PUNROLL x the compute.
-        def point_body(jj, _):
-            j4 = jj * punroll
-            for k in range(punroll):
-                j = j4 + k
-                delta = (g0 + j.astype(jnp.float32)) - cidx
-                adelta = jnp.abs(delta)
-                m = (adelta <= fs) & (adelta > nr)
-                xi = (delta - frac) * rw
-                xq = xi * xi
-                reg0 = xq >= xlim0
-                num = jnp.where(reg0, snum0, snum0 * (a0 + xq))
-                den = jnp.where(reg0, xq + yq, d0 + xq * (d2 + xq))
-                # Fast reciprocal + two Newton steps: ~1 ulp of a true
-                # divide at a fraction of the VPU cost.
-                r = pl.reciprocal(den, approx=True)
-                for _ in range(newton):
-                    r = r * (2.0 - den * r)
-                contrib = jnp.where(m, num * r, 0.0)
-                row = jnp.sum(contrib, axis=0, keepdims=True)  # (1, rblock)
-                out_ref[pl.ds(j, 1), :] += row
-            return 0
+        # from VMEM amortize over PUNROLL x the compute.  The zone split
+        # is bit-exact: interior/edge chunks compute exactly the value
+        # the full select would have picked (region 0 / pure-Lorentz
+        # share num = snum0, den = xq + yq by channel construction).
+        def far_loop(mode):
+            def point_body(jj, _):
+                j4 = jj * punroll
+                for k in range(punroll):
+                    j = j4 + k
+                    delta = (g0 + j.astype(jnp.float32)) - cidx
+                    xi = (delta - frac) * rw
+                    xq = xi * xi
+                    if mode == "core":
+                        adelta = jnp.abs(delta)
+                        m = (adelta <= fs) & (adelta > nr)
+                        reg0 = xq >= xlim0
+                        num = jnp.where(reg0, snum0, snum0 * (a0 + xq))
+                        den = jnp.where(reg0, xq + yq,
+                                        d0 + xq * (d2 + xq))
+                    else:
+                        num = snum0
+                        den = xq + yq
+                        if mode == "edge":
+                            m = jnp.abs(delta) <= fs
+                    # Fast reciprocal + Newton steps: ~1 ulp of a true
+                    # divide at a fraction of the VPU cost.
+                    r = pl.reciprocal(den, approx=True)
+                    for _ in range(newton):
+                        r = r * (2.0 - den * r)
+                    contrib = num * r
+                    if mode != "interior":
+                        contrib = jnp.where(m, contrib, 0.0)
+                    row = jnp.sum(contrib, axis=0,
+                                  keepdims=True)           # (1, rblock)
+                    out_ref[pl.ds(j, 1), :] += row
+                return 0
+            return point_body
 
-        jax.lax.fori_loop(0, tile // punroll, point_body, 0)
+        is_core = (c >= m0l) & (c < m0h)
+        is_interior = ((c >= fll) & (c < flh)) | ((c >= frl) & (c < frh))
+
+        @pl.when(is_core)
+        def _():
+            jax.lax.fori_loop(0, tile // punroll, far_loop("core"), 0)
+
+        @pl.when(jnp.logical_not(is_core) & is_interior)
+        def _():
+            jax.lax.fori_loop(0, tile // punroll, far_loop("interior"), 0)
+
+        @pl.when(jnp.logical_not(is_core) & jnp.logical_not(is_interior))
+        def _():
+            jax.lax.fori_loop(0, tile // punroll, far_loop("edge"), 0)
 
         # --- Near core: full Humlicek at 2*hw+1 offsets around c0, placed
         # with a one-hot MXU matmul (only chunks with centers in-tile). --
@@ -351,7 +399,8 @@ def _voigt_kernel(lo_ref, nchunks_ref, cnl_ref, cnh_ref, start_ref, params,
     static_argnames=("tile", "ch", "fsteps", "near", "hw", "ntiles_block",
                      "rpad", "rblock", "include_near", "num_global",
                      "punroll", "newton", "interpret"))
-def voigt_pallas(channels, lo, nchunks, cnl, cnh, start, *, tile: int,
+def voigt_pallas(channels, lo, nchunks, cnl, cnh, m0l, m0h, fll, flh, frl,
+                 frh, start, *, tile: int,
                  ch: int, fsteps: int, near: int, hw: int,
                  ntiles_block: int, rpad: int, num_global: int,
                  rblock: int | None = None, include_near: bool = True,
@@ -366,6 +415,9 @@ def voigt_pallas(channels, lo, nchunks, cnl, cnh, start, *, tile: int,
       cnl / cnh: (ntiles_block,) int32 sub-range [cnl, cnh) of chunk
         indices whose lines' centers can land inside the tile (the
         near-core branch runs only for those).
+      m0l / m0h, fll / flh, frl / frh: per-tile far-zone chunk sub-ranges
+        (core-adjacent / interior-left / interior-right) from
+        :func:`build_chunk_ranges`.
       start: scalar int32 global grid index of the block's first point.
       tile / ch / fsteps / near / hw: static geometry.
 
@@ -373,12 +425,20 @@ def voigt_pallas(channels, lo, nchunks, cnl, cnh, start, *, tile: int,
     (points, rows).
     """
     # Rows split into rblock-wide grid steps so VMEM stays bounded for
-    # arbitrarily large column batches.
+    # arbitrarily large column batches.  Pick the lane-multiple block
+    # that minimizes total padded lanes (rpad = 896 as 1 x 896, not
+    # 2 x 512 = 1024 lanes of work).
     if rblock is None:
-        rblock = min(rpad, 512)
+        best, best_cost = LANE, None
+        for rb in range(LANE, min(rpad, 1024) + 1, LANE):
+            cost = -(-rpad // rb) * rb
+            if best_cost is None or cost < best_cost or \
+                    (cost == best_cost and rb > best):
+                best, best_cost = rb, cost
+        rblock = best
     nrb = -(-rpad // rblock)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=5,
+        num_scalar_prefetch=11,
         grid=(ntiles_block, nrb),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((tile, rblock), lambda t, rb, *_: (t, rb),
@@ -401,22 +461,51 @@ def voigt_pallas(channels, lo, nchunks, cnl, cnh, start, *, tile: int,
         interpret=interpret,
     )(jnp.asarray(lo, jnp.int32), jnp.asarray(nchunks, jnp.int32),
       jnp.asarray(cnl, jnp.int32), jnp.asarray(cnh, jnp.int32),
+      jnp.asarray(m0l, jnp.int32), jnp.asarray(m0h, jnp.int32),
+      jnp.asarray(fll, jnp.int32), jnp.asarray(flh, jnp.int32),
+      jnp.asarray(frl, jnp.int32), jnp.asarray(frh, jnp.int32),
       jnp.asarray(start, jnp.int32).reshape(1), channels)
+
+
+@dataclasses.dataclass(frozen=True)
+class ChunkRanges:
+    """Per-tile chunk tables for the fused kernel (host-precomputed).
+
+    All arrays are (ntiles,) int32; chunk indices are relative to
+    ``lo[t]`` (in CH-line units).
+    """
+
+    lo: np.ndarray        # CH-aligned line-range start per tile
+    nchunks: np.ndarray   # CH-line chunks covering the tile's reach
+    cnl: np.ndarray       # [cnl, cnh): chunks whose line centers can
+    cnh: np.ndarray       #   land inside the tile (near-core branch)
+    m0l: np.ndarray       # [m0l, m0h): chunks with ANY line within
+    m0h: np.ndarray       #   region0_hw of the tile (full-select zone)
+    fll: np.ndarray       # [fll, flh) u [frl, frh): chunks whose EVERY
+    flh: np.ndarray       #   line covers the whole tile, sits beyond
+    frl: np.ndarray       #   region0_hw, and cannot shift off the grid
+    frh: np.ndarray       #   (unmasked pure-region-0 zone)
+    lpad: int             # padded line-array length for in-bounds DMA
 
 
 def build_chunk_ranges(c0_sorted: np.ndarray, num_wpoints: int, fsteps: int,
                        tile: int, ch: int, shift_margin: int = 2,
-                       near_hw: int | None = None):
+                       near_hw: int | None = None,
+                       region0_hw: int | None = None) -> ChunkRanges:
     """Host-side per-tile contiguous line ranges, CH-chunk aligned.
 
-    Returns (lo, nchunks, cnl, cnh, lpad): ``lo[t]`` is the CH-aligned
-    start index of the line range reaching tile t, ``nchunks[t]`` the
-    number of CH-line chunks covering it, ``[cnl[t], cnh[t])`` the chunk
-    sub-range (relative indices) whose line centers can land inside the
-    tile (the near-core branch), and ``lpad`` the padded line-array
-    length every in-bounds DMA needs.  Mirrors lines.build_tiles
-    bucketing (kernels.c:177-304 bin structure) without materializing
-    index lists.
+    ``lo[t]`` is the CH-aligned start index of the line range reaching
+    tile t, ``nchunks[t]`` the number of CH-line chunks covering it,
+    ``[cnl[t], cnh[t])`` the chunk sub-range (relative indices) whose
+    line centers can land inside the tile (the near-core branch), and
+    ``lpad`` the padded line-array length every in-bounds DMA needs.
+    Mirrors lines.build_tiles bucketing (kernels.c:177-304 bin
+    structure) without materializing index lists.
+
+    ``region0_hw`` (from :func:`lines.region0_halfwidth`) additionally
+    classifies far-wing chunks into the three zones the kernel
+    specializes on; when None, every chunk is conservatively
+    core-adjacent (full select math — the pre-zone behavior).
     """
     ntiles = -(-num_wpoints // tile)
     reach = fsteps + shift_margin
@@ -432,17 +521,62 @@ def build_chunk_ranges(c0_sorted: np.ndarray, num_wpoints: int, fsteps: int,
     nhi = np.searchsorted(c0_sorted, first + (tile - 1) + hw, side="right")
     cnl = np.clip((nlo - lo_al) // ch, 0, nchunks)
     cnh = np.clip(-(-(nhi - lo_al) // ch), 0, nchunks)
+
+    zeros = np.zeros(ntiles, np.int64)
+    if region0_hw is None:
+        # Everything core-adjacent, no interior fast zone.
+        m0l, m0h = zeros, nchunks.astype(np.int64)
+        fll = flh = frl = frh = zeros
+    else:
+        # Edge/interior chunks skip the near-core exclusion mask, which is
+        # only sound when every line beyond the core zone is also beyond
+        # the near window: force region0_hw >= the near reach.
+        reach0 = max(region0_hw, hw) + shift_margin
+        # Core-adjacent (ANY line within reach0 of the tile): chunk
+        # intersects [il, ih) -> floor start, ceil end.
+        il = np.searchsorted(c0_sorted, first - reach0, side="left")
+        ih = np.searchsorted(c0_sorted, first + (tile - 1) + reach0,
+                             side="right")
+        m0l = np.clip((il - lo_al) // ch, 0, nchunks)
+        m0h = np.clip(-(-(ih - lo_al) // ch), 0, nchunks)
+        # Interior (EVERY line in chunk qualifies): ceil start, floor
+        # end.  Left range: window covers the whole tile
+        # (c0 >= first + tile - 1 - fsteps + margin), strictly beyond
+        # reach0 (c0 <= first - reach0 - 1), and the shifted center
+        # cannot leave the grid (c0 >= margin).
+        def all_sub(vmin, vmax):
+            a = np.searchsorted(c0_sorted, vmin, side="left")
+            b = np.searchsorted(c0_sorted, vmax, side="right")
+            cl = np.clip(-(-(a - lo_al) // ch), 0, nchunks)
+            chh = np.clip((b - lo_al) // ch, 0, nchunks)
+            return cl, np.maximum(chh, cl)
+
+        fll, flh = all_sub(
+            np.maximum(first + (tile - 1) - fsteps + shift_margin,
+                       shift_margin),
+            first - reach0 - 1)
+        frl, frh = all_sub(
+            first + tile + reach0,
+            np.minimum(first + fsteps - shift_margin,
+                       num_wpoints - 1 - shift_margin))
+
     # lpad covers every DMA end AND the full catalog (far_channels pads the
     # (rows, L) arrays up to lpad, so lpad >= L).
     lpad = int(_round_up(max(int((lo_al + nchunks * ch).max(initial=ch)),
                              len(c0_sorted), ch), ch))
-    return (lo_al.astype(np.int32), nchunks.astype(np.int32),
-            cnl.astype(np.int32), cnh.astype(np.int32), lpad)
+    i32 = np.int32
+    return ChunkRanges(lo_al.astype(i32), nchunks.astype(i32),
+                       cnl.astype(i32), cnh.astype(i32),
+                       m0l.astype(i32), m0h.astype(i32),
+                       fll.astype(i32), flh.astype(i32),
+                       frl.astype(i32), frh.astype(i32), lpad)
 
 
-def accumulate_voigt_pallas(prep, c0, ns, ranges, *, num_wpoints: int,
+def accumulate_voigt_pallas(prep, c0, ns, ranges: ChunkRanges, *,
+                            num_wpoints: int,
                             dw: float, fsteps: int, near: int, hw: int,
-                            tile: int, ch: int, lpad: int, num_global: int,
+                            tile: int, ch: int, lpad: int | None = None,
+                            num_global: int,
                             tau0=None, start=0, include_near: bool = True,
                             punroll: int = PUNROLL, newton: int = 2,
                             interpret: bool = False):
@@ -457,8 +591,8 @@ def accumulate_voigt_pallas(prep, c0, ns, ranges, *, num_wpoints: int,
       prep: PreparedLines with (rows, L) arrays (rows = batch x layers).
       c0: (L,) int32 unshifted grid indices (GridLines.c0).
       ns: (rows,) species column density.
-      ranges: (lo, nchunks, cnl, cnh) global per-tile tables from
-        :func:`build_chunk_ranges` (np or device arrays).
+      ranges: :class:`ChunkRanges` global per-tile tables from
+        :func:`build_chunk_ranges`.
       hw: static near-window half-width in grid points
         (near + pressure-shift margin).
       start: traced global index of the output block (tile-aligned).
@@ -468,12 +602,17 @@ def accumulate_voigt_pallas(prep, c0, ns, ranges, *, num_wpoints: int,
     rows, L = prep.strength.shape
     rpad = _round_up(rows, LANE)
     ntiles_block = -(-num_wpoints // tile)
+    if lpad is None:
+        lpad = ranges.lpad
 
     channels = far_channels(prep, c0, ns, dw=dw, num_global=num_global,
                             lpad=lpad, rpad=rpad)
 
-    lo_g, nch_g, cnl_g, cnh_g = (jnp.asarray(r) for r in ranges)
-    ntiles_global = lo_g.shape[0]
+    tables = [jnp.asarray(a) for a in
+              (ranges.lo, ranges.nchunks, ranges.cnl, ranges.cnh,
+               ranges.m0l, ranges.m0h, ranges.fll, ranges.flh,
+               ranges.frl, ranges.frh)]
+    ntiles_global = tables[0].shape[0]
     start = jnp.asarray(start, jnp.int32)
     t0 = start // tile
     # Per-block rows of the global tables (tiles past the grid end get
@@ -484,14 +623,11 @@ def accumulate_voigt_pallas(prep, c0, ns, ranges, *, num_wpoints: int,
         return jax.lax.dynamic_slice_in_dim(jnp.pad(a, (0, pad_t)), t0,
                                             ntiles_block)
 
-    lo_b = block_rows(lo_g)
-    nchunks_b = block_rows(nch_g)
-    cnl_b = block_rows(cnl_g)
-    cnh_b = block_rows(cnh_g)
+    tables = [block_rows(a) for a in tables]
     tvalid = t0 + jnp.arange(ntiles_block, dtype=jnp.int32) < ntiles_global
-    nchunks_b = jnp.where(tvalid, nchunks_b, 0)
+    tables[1] = jnp.where(tvalid, tables[1], 0)
 
-    tau_t = voigt_pallas(channels, lo_b, nchunks_b, cnl_b, cnh_b, start,
+    tau_t = voigt_pallas(channels, *tables, start,
                          tile=tile, ch=ch, fsteps=fsteps, near=near, hw=hw,
                          ntiles_block=ntiles_block, rpad=rpad,
                          num_global=num_global, include_near=include_near,

@@ -71,14 +71,15 @@ def _jnp_far(grid, bound, prep, ns, fsteps, near, num_wpoints, start):
 
 
 def _pallas(grid, bound, prep, ns, fsteps, near, num_wpoints, start,
-            include_near):
+            include_near, region0_hw=None):
     hw = near + 2
-    lo, nchunks, cnl, cnh, lpad = pk.build_chunk_ranges(
-        bound.c0, grid.n, fsteps, TILE, CH, shift_margin=2, near_hw=hw)
+    ranges = pk.build_chunk_ranges(
+        bound.c0, grid.n, fsteps, TILE, CH, shift_margin=2, near_hw=hw,
+        region0_hw=region0_hw)
     return pk.accumulate_voigt_pallas(
-        prep, bound.c0, ns, (lo, nchunks, cnl, cnh),
+        prep, bound.c0, ns, ranges,
         num_wpoints=num_wpoints, dw=float(grid.dw), fsteps=fsteps,
-        near=near, hw=hw, tile=TILE, ch=CH, lpad=lpad, num_global=grid.n,
+        near=near, hw=hw, tile=TILE, ch=CH, num_global=grid.n,
         start=start, include_near=include_near, interpret=True)
 
 
@@ -149,6 +150,64 @@ def test_pallas_fused_blocks(setup):
         if pad:
             want = np.pad(want, ((0, 0), (0, pad)))
         np.testing.assert_allclose(got, want, rtol=2e-6, atol=1e-12)
+
+
+def test_zone_split_bit_identical(setup):
+    """The three-zone far-wing specialization (interior pure-region-0 /
+    edge / core-adjacent) computes the same arithmetic as the
+    single-path kernel: it only skips selects whose outcome is
+    host-provably constant.  Tolerance is a couple of f32 ulps, NOT the
+    kernel-parity 2e-6: XLA's FMA contraction may differ between the two
+    expression graphs (observed <= 2 ulps on CPU; identical on TPU)."""
+    grid, bound, prep, ns, fsteps, near = setup
+    nw = -(-grid.n // TILE) * TILE
+    base = np.asarray(_pallas(grid, bound, prep, ns, fsteps, near, nw, 0,
+                              include_near=True, region0_hw=None))
+    for r0 in (8, 12, 20):
+        zoned = np.asarray(_pallas(grid, bound, prep, ns, fsteps, near,
+                                   nw, 0, include_near=True,
+                                   region0_hw=r0))
+        np.testing.assert_allclose(zoned, base, rtol=6e-7, atol=1e-12)
+
+    # With fsteps=30 and TILE=32 the interior zone is legitimately empty
+    # (the window never fully covers a tile beyond the core reach), so
+    # ALSO exercise the kernel's interior fast path: small tiles + a
+    # line catalog dense enough that whole ch-chunks fall inside the
+    # interior span (as in production: tile=64 vs fsteps=250 with ~30
+    # HITRAN lines per cm-1).
+    rng = np.random.default_rng(17)
+    nd = 1200
+    dcat = synthetic_catalog(
+        1, np.sort(rng.uniform(grid.w0, grid.last, nd)),
+        rng.uniform(1e-22, 1e-19, nd),
+        yair=rng.uniform(0.02, 0.1, nd), yself=rng.uniform(0.05, 0.4, nd),
+        en=rng.uniform(0.0, 2000.0, nd), n=rng.uniform(0.4, 0.8, nd),
+        d=rng.uniform(-0.02, 0.02, nd))
+    dbound = lines_mod.bind_to_grid(dcat, grid)
+    nrows = prep.strength.shape[0]
+    dprep = lines_mod.prepare(
+        dbound, grid,
+        np.full(nrows, 0.5, np.float32), np.full(nrows, 260.0, np.float32),
+        np.full(nrows, 0.005, np.float32))
+    hw = near + 2
+    nw8 = -(-grid.n // 8) * 8
+
+    def small_tile(r0):
+        ranges = pk.build_chunk_ranges(dbound.c0, grid.n, fsteps, 8, 8,
+                                       shift_margin=2, near_hw=hw,
+                                       region0_hw=r0)
+        out = pk.accumulate_voigt_pallas(
+            dprep, dbound.c0, ns, ranges, num_wpoints=nw8,
+            dw=float(grid.dw), fsteps=fsteps, near=near, hw=hw, tile=8,
+            ch=8, num_global=grid.n, start=0, include_near=True,
+            interpret=True)
+        return ranges, np.asarray(out)
+
+    ranges, zoned8 = small_tile(8)
+    assert int(np.sum((ranges.flh - ranges.fll)
+                      + (ranges.frh - ranges.frl))) > 0
+    _, base8 = small_tile(None)
+    np.testing.assert_allclose(zoned8, base8, rtol=6e-7, atol=1e-12)
 
 
 def test_gas_optics_batched_matches_single():

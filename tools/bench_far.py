@@ -48,19 +48,19 @@ ns = jnp.asarray(rng.random(R, dtype=np.float32) * 1e22)
 nw = -(-grid.n // TILE) * TILE
 
 # --- Pallas ---
-lo, nchunks, cnl, cnh, lpad = pk.build_chunk_ranges(
+ranges = pk.build_chunk_ranges(
     bound.c0, grid.n, fsteps, TILE, CH, near_hw=near + 2)
-print(f"tiles={len(lo)} lpad={lpad} mean_chunks={nchunks.mean():.1f}",
-      file=sys.stderr)
+print(f"tiles={len(ranges.lo)} lpad={ranges.lpad} "
+      f"mean_chunks={ranges.nchunks.mean():.1f}", file=sys.stderr)
 
 
 @jax.jit
 def run_pallas(prep_ci, prep_cf, s, lor, dop, ns):
     p = lines_mod.PreparedLines(prep_ci, prep_cf, s, lor, dop)
     return pk.accumulate_voigt_pallas(
-        p, bound.c0, ns, (lo, nchunks, cnl, cnh), num_wpoints=nw,
+        p, bound.c0, ns, ranges, num_wpoints=nw,
         dw=float(grid.dw), fsteps=fsteps, near=near, hw=near + 2,
-        tile=TILE, ch=CH, lpad=lpad, num_global=grid.n, start=0,
+        tile=TILE, ch=CH, num_global=grid.n, start=0,
         include_near=False)
 
 

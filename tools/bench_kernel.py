@@ -51,7 +51,7 @@ prep = jax.tree.map(jax.block_until_ready,
                      prep.lorentz, prep.doppler])
 prep = lines_mod.PreparedLines(*prep)
 ns = jax.block_until_ready(ns.reshape(rows))
-lo, nchunks, cnl, cnh, lpad = gas.chunk_ranges[mol]
+ranges = gas.chunk_ranges[mol]
 near = gas.near_steps[mol]
 
 
@@ -60,10 +60,10 @@ def run(include_near):
     def f(arrs, ns):
         prep = lines_mod.PreparedLines(*arrs)
         return pk.accumulate_voigt_pallas(
-            prep, bound.c0, ns, (lo, nchunks, cnl, cnh),
+            prep, bound.c0, ns, ranges,
             num_wpoints=grid.n, dw=float(grid.dw), fsteps=gas._fsteps,
             near=near, hw=gas.near_hw[mol], tile=gas.tile,
-            ch=gas.pallas_ch, lpad=lpad, num_global=grid.n, start=0,
+            ch=gas.pallas_ch, num_global=grid.n, start=0,
             include_near=include_near)
     @jax.jit
     def g(arrs, ns, chain):

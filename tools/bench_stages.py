@@ -93,15 +93,15 @@ print(f"prep(h2o): compile {c:.1f}s, {max(t-t_null,0)*1e3:.1f} ms")
 prep = lines_mod.prepare(bound, grid, pavg, tavg, psavg, tips=gas.tips)
 prep = jax.tree.map(jax.block_until_ready, prep.__dict__) and prep
 near = gas.near_steps[mol]
-lo, nchunks, cnl, cnh, lpad = gas.chunk_ranges[mol]
+ranges = gas.chunk_ranges[mol]
 
 
 def run_far(prep, ns):
     return pk.accumulate_voigt_pallas(
-        prep, bound.c0, ns, (lo, nchunks, cnl, cnh), num_wpoints=grid.n,
+        prep, bound.c0, ns, ranges, num_wpoints=grid.n,
         dw=float(grid.dw), fsteps=gas._fsteps, near=near,
         hw=gas.near_hw[mol], tile=gas.tile, ch=gas.pallas_ch,
-        lpad=lpad, num_global=grid.n, start=0)
+        num_global=grid.n, start=0)
 
 
 c, t = timed(run_far, prep, ns)

@@ -73,12 +73,12 @@ def gas_path(p_lev, t_lev, vmr, mols, do_far=True, do_near=True):
                                  tips=gas.tips)
         near = gas.near_steps[mol_id]
         if do_far:
-            lo, nchunks, cnl, cnh, lpad = gas.chunk_ranges[mol_id]
+            ranges = gas.chunk_ranges[mol_id]
             tau = pk.accumulate_voigt_pallas(
-                prep, bound.c0, ns, (lo, nchunks, cnl, cnh),
+                prep, bound.c0, ns, ranges,
                 num_wpoints=grid.n, dw=float(grid.dw),
                 fsteps=gas._fsteps, near=near, hw=gas.near_hw[mol_id],
-                tile=gas.tile, ch=gas.pallas_ch, lpad=lpad,
+                tile=gas.tile, ch=gas.pallas_ch,
                 num_global=grid.n, tau0=tau, start=0,
                 include_near=do_near)
         if do_near and not do_far:

@@ -49,7 +49,7 @@ for tile, ch, punroll, newton in [
     gas = GasOptics(grid, line_chunk=1024, tile=tile, pallas_ch=ch)
     gas.add_catalog(cat)
     bound = gas.molecules[1]
-    lo, nchunks, cnl, cnh, lpad = gas.chunk_ranges[1]
+    ranges = gas.chunk_ranges[1]
     near = gas.near_steps[1]
     hw = gas.near_hw[1]
     n2d = cg.number_densities(p_lev)
@@ -64,14 +64,13 @@ for tile, ch, punroll, newton in [
 
     @jax.jit
     def g(arrs, ns, chain, tile=tile, ch=ch, punroll=punroll,
-          newton=newton, bound=bound, lo=lo, nchunks=nchunks, cnl=cnl,
-          cnh=cnh, lpad=lpad, near=near, hw=hw):
+          newton=newton, bound=bound, ranges=ranges, near=near, hw=hw):
         arrs = (arrs[0], arrs[1] + chain) + arrs[2:]
         p = lines_mod.PreparedLines(*arrs)
         tau = pk.accumulate_voigt_pallas(
-            p, bound.c0, ns, (lo, nchunks, cnl, cnh), num_wpoints=grid.n,
+            p, bound.c0, ns, ranges, num_wpoints=grid.n,
             dw=float(grid.dw), fsteps=gas._fsteps, near=near, hw=hw,
-            tile=tile, ch=ch, lpad=lpad, num_global=grid.n, start=0,
+            tile=tile, ch=ch, num_global=grid.n, start=0,
             punroll=punroll, newton=newton)
         return tau.sum() * 1e-30
 

@@ -427,10 +427,16 @@ def voigt_pallas(channels, lo, nchunks, cnl, cnh, m0l, m0h, fll, flh, frl,
     # Rows split into rblock-wide grid steps so VMEM stays bounded for
     # arbitrarily large column batches.  Pick the lane-multiple block
     # that minimizes total padded lanes (rpad = 896 as 1 x 896, not
-    # 2 x 512 = 1024 lanes of work).
+    # 2 x 512 = 1024 lanes of work), capped so the kernel's scoped VMEM
+    # (double-buffered channel stack + output block + point-loop
+    # temporaries) stays under the ~16 MB/core budget with headroom.
     if rblock is None:
+        per_lane = 4 * (2 * NCH * ch        # double-buffered DMA stack
+                        + 3 * tile          # out block + near acc + slack
+                        + 4 * punroll * ch)  # live point-loop temporaries
+        rb_cap = max((10_000_000 // per_lane) // LANE * LANE, LANE)
         best, best_cost = LANE, None
-        for rb in range(LANE, min(rpad, 1024) + 1, LANE):
+        for rb in range(LANE, min(rpad, rb_cap, 1024) + 1, LANE):
             cost = -(-rpad // rb) * rb
             if best_cost is None or cost < best_cost or \
                     (cost == best_cost and rb > best):

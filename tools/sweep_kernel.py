@@ -14,8 +14,8 @@ from grtcode_tpu.gas_optics.hitran import synthetic_catalog
 from grtcode_tpu.utils import curtis_godson as cg
 from grtcode_tpu import constants
 
-B = 4
-NL = 16384
+B = 16
+NL = 100000
 grid = SpectralGrid(1.0, 3250.0, 0.1)
 nlayers = 54
 
@@ -38,13 +38,13 @@ rows = B * nlayers
 ref_sum = None
 for tile, ch, punroll, newton in [
         (64, 32, 4, 2),    # current default
+        (32, 32, 4, 2),
+        (128, 32, 4, 2),
         (64, 32, 8, 2),
         (64, 64, 4, 2),
-        (128, 32, 4, 2),
+        (64, 16, 4, 2),
+        (32, 16, 4, 2),
         (128, 64, 8, 2),
-        (256, 64, 8, 2),
-        (64, 32, 4, 1),
-        (128, 64, 8, 1),
 ]:
     gas = GasOptics(grid, line_chunk=1024, tile=tile, pallas_ch=ch)
     gas.add_catalog(cat)

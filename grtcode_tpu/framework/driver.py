@@ -295,25 +295,27 @@ class RadiationDriver:
                 g = jnp.broadcast_to(c["aero_g"][:, :, None], tau.shape)
                 return Optics(tau, omega, g)
 
+            # optical_depth is batch-NATIVE: the (B, nlev) leading axis
+            # flattens into the kernel's rows so the whole batch densifies
+            # one fused Pallas launch.  Do NOT wrap it in jax.vmap — that
+            # replays the kernel per column and vmap-batching the Pallas
+            # call's ANY-space channel operand is unsupported on TPU.
             block_kw_lw = ({} if full else
                            dict(block_start=start_lw, block_size=block_lw))
-            vmap_od = jax.vmap(
-                lambda p, t, v, cv, iv: self.lw_gas.optical_depth(
-                    p, t, v, cfc_vmr=cv, cia_vmr=iv, **block_kw_lw))
-            tau_lw = vmap_od(col["p_lev"], col["t_lev"], col["vmr_lw"],
-                             col["cfc_vmr"], col["cia_vmr"])
+            tau_lw = self.lw_gas.optical_depth(
+                col["p_lev"], col["t_lev"], col["vmr_lw"],
+                cfc_vmr=col["cfc_vmr"], cia_vmr=col["cia_vmr"],
+                **block_kw_lw)
             gas_lw = Optics.from_tau(tau_lw)
 
             if swg is not None:
-                sw_vmr = col["vmr_sw"]
                 block_kw_sw = ({} if full else
                                dict(block_start=start_sw,
                                     block_size=block_sw))
-                tau_sw = jax.vmap(
-                    lambda p, t, v, cv, iv: self.sw_gas.optical_depth(
-                        p, t, v, cfc_vmr=cv, cia_vmr=iv, **block_kw_sw))(
-                    col["p_lev"], col["t_lev"], sw_vmr,
-                    col["cfc_vmr"], col["cia_vmr"])
+                tau_sw = self.sw_gas.optical_depth(
+                    col["p_lev"], col["t_lev"], col["vmr_sw"],
+                    cfc_vmr=col["cfc_vmr"], cia_vmr=col["cia_vmr"],
+                    **block_kw_sw)
                 p_atm = col["p_lev"] * constants.MB_TO_ATM
                 ray = rayleigh_tau(cg.number_densities(p_atm), w_sw)
                 gasray_sw = combine([

@@ -301,6 +301,8 @@ def _voigt_kernel(lo_ref, nchunks_ref, cnl_ref, cnh_ref, m0l_ref, m0h_ref,
         # is bit-exact: interior/edge chunks compute exactly the value
         # the full select would have picked (region 0 / pure-Lorentz
         # share num = snum0, den = xq + yq by channel construction).
+        h = ch // 2
+
         def far_loop(mode):
             def point_body(jj, _):
                 j4 = jj * punroll
@@ -321,14 +323,27 @@ def _voigt_kernel(lo_ref, nchunks_ref, cnl_ref, cnh_ref, m0l_ref, m0h_ref,
                         den = xq + yq
                         if mode == "edge":
                             m = jnp.abs(delta) <= fs
+                    if mode != "interior":
+                        # Mask num -> 0 AND den -> 1: an invalid line's
+                        # den can reach ~1e23 (xi ~ 1e9 * rw), whose
+                        # pairwise product overflows to inf and poisons
+                        # bign with 0 * inf = NaN.  Interior chunks are
+                        # all-valid with den <= ~1e10 by construction.
+                        num = jnp.where(m, num, 0.0)
+                        den = jnp.where(m, den, 1.0)
+                    # Pairwise rational combine: one reciprocal serves
+                    # two lines (n1/d1 + n2/d2 = (n1 d2 + n2 d1)/(d1 d2)).
+                    # Every term is non-negative (no cancellation) and
+                    # d1*d2 <= ~1e21 stays in f32 range; errors are a few
+                    # ulps, inside the kernel's 2e-6 parity budget.
+                    bign = num[:h] * den[h:] + num[h:] * den[:h]
+                    bigd = den[:h] * den[h:]
                     # Fast reciprocal + Newton steps: ~1 ulp of a true
                     # divide at a fraction of the VPU cost.
-                    r = pl.reciprocal(den, approx=True)
+                    r = pl.reciprocal(bigd, approx=True)
                     for _ in range(newton):
-                        r = r * (2.0 - den * r)
-                    contrib = num * r
-                    if mode != "interior":
-                        contrib = jnp.where(m, contrib, 0.0)
+                        r = r * (2.0 - bigd * r)
+                    contrib = bign * r
                     row = jnp.sum(contrib, axis=0,
                                   keepdims=True)           # (1, rblock)
                     out_ref[pl.ds(j, 1), :] += row
@@ -585,6 +600,7 @@ def accumulate_voigt_pallas(prep, c0, ns, ranges: ChunkRanges, *,
                             num_global: int,
                             tau0=None, start=0, include_near: bool = True,
                             punroll: int = PUNROLL, newton: int = 2,
+                            rblock: int | None = None,
                             interpret: bool = False):
     """Fused near+far Voigt accumulation via the Pallas kernel.
 
@@ -637,7 +653,7 @@ def accumulate_voigt_pallas(prep, c0, ns, ranges: ChunkRanges, *,
                          tile=tile, ch=ch, fsteps=fsteps, near=near, hw=hw,
                          ntiles_block=ntiles_block, rpad=rpad,
                          num_global=num_global, include_near=include_near,
-                         punroll=punroll, newton=newton,
+                         punroll=punroll, newton=newton, rblock=rblock,
                          interpret=interpret)
     tau = tau_t[:num_wpoints, :rows].T
     return tau if tau0 is None else tau0 + tau

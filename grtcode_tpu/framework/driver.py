@@ -80,6 +80,9 @@ class RadiationDriver:
     cloud_optics: Callable | None = None
     num_subcolumns: int = 1   # driver.c:503 (reference uses 1)
     cloud_seed: int = 0
+    # jitted-step memo: run() is called once per batch; without this every
+    # call would rebuild the closures and re-trace.
+    _step_cache: dict = dataclasses.field(default_factory=dict, repr=False)
 
     # -- host-side spectral surface prep (atmospheric_column,
     #    driver.c:100-115: linear interp, constant extrapolation) ----------
@@ -183,22 +186,53 @@ class RadiationDriver:
                 "t_lay": jnp.asarray(atm.layer_temperature, f32),
             }
 
-        out = self._step(atm.clean, atm.clear, integrated, mesh)(dev,
-                                                                cloud_args)
+        # Batch-level night skip (the reference skips the SW pass per
+        # column iff cos(zenith) <= 0, driver.c:706-713): when NO column
+        # in the batch is lit, dispatch the LW-only step so the entire SW
+        # gas-optics + solver pipeline is never computed.  rsu/rsd come
+        # back as integrated zeros, which is exactly the day-mask result.
+        with_sw = self.sw_gas is not None
+        if with_sw and integrated:
+            mu_host = atm.cos_zenith
+            if mu_host is None or not np.any(np.asarray(mu_host) > 0.0):
+                with_sw = False
+
+        out = self._step(atm.clean, atm.clear, integrated, mesh,
+                         with_sw=with_sw)(dev, cloud_args)
         return FluxResults(tiers=jax.tree.map(np.asarray, out),
                            integrated=integrated)
 
     # -- the jitted batched computation ------------------------------------
-    def _step(self, clean: bool, clear: bool, integrated: bool, mesh=None):
+    def _step(self, clean: bool, clear: bool, integrated: bool, mesh=None,
+              with_sw: bool = True):
         """ONE step implementation for every sky tier, unsharded or over a
         (columns x spectral) mesh.  Under a mesh each shard computes its
         contiguous wavenumber block of gas/Rayleigh/aerosol/cloud optics
         and both solvers, and integrated fluxes psum over the spectral
-        axis with exact per-block trapezoid weights."""
+        axis with exact per-block trapezoid weights.
+
+        ``with_sw=False`` builds the LW-only variant (night batches /
+        the shipped-ERA5 configuration): SW fluxes are integrated zeros.
+        """
+        key = (clean, clear, integrated, mesh, with_sw)
+        try:
+            return self._step_cache[key]
+        except (KeyError, TypeError):   # TypeError: unhashable mesh
+            pass
+        fn = self._build_step(clean, clear, integrated, mesh, with_sw)
+        try:
+            self._step_cache[key] = fn
+        except TypeError:
+            pass
+        return fn
+
+    def _build_step(self, clean: bool, clear: bool, integrated: bool,
+                    mesh, with_sw: bool):
         from ..parallel.mesh import COLUMNS_AXIS, SPECTRAL_AXIS
 
         lwg = self.lw_gas.grid
-        swg = self.sw_gas.grid if self.sw_gas is not None else None
+        swg = (self.sw_gas.grid
+               if self.sw_gas is not None and with_sw else None)
         sol_full = (self.solar.incident_flux if self.solar is not None
                     else jnp.zeros((1,), jnp.float32))
         if mesh is not None and not integrated:

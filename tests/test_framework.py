@@ -100,3 +100,26 @@ def test_spectral_output_mode(driver, atm):
     rlu = res.tiers["csaf"]["rlu"]
     assert rlu.shape == (1, 55, driver.lw_gas.grid.n)
     assert np.isfinite(rlu).all()
+
+
+def test_night_batch_skips_sw_and_memoized_step(driver, atm):
+    """A batch with no lit column dispatches the LW-only step (the
+    reference's per-column cos(zenith) <= 0 skip, driver.c:706-713, at
+    batch granularity): SW fluxes are exactly zero and LW fluxes are
+    identical to the full step's."""
+    import dataclasses
+
+    night = dataclasses.replace(
+        atm, cos_zenith=np.full(atm.batch, -1.0))
+    res_night = driver.run(night, integrated=True)
+    day = driver.run(atm, integrated=True)
+    for k in ("rsu", "rsd"):
+        assert np.all(res_night.tiers["csaf"][k] == 0.0), k
+    np.testing.assert_allclose(res_night.tiers["csaf"]["rlu"],
+                               day.tiers["csaf"]["rlu"], rtol=1e-6)
+
+    # The jitted step is memoized per (tiers, integrated, mesh, with_sw).
+    s1 = driver._step(True, True, True, None, with_sw=True)
+    s2 = driver._step(True, True, True, None, with_sw=True)
+    assert s1 is s2
+    assert driver._step(True, True, True, None, with_sw=False) is not s1

@@ -102,6 +102,125 @@ def _thickness_m(d) -> np.ndarray:
     return np.abs(z[:-1] - z[1:])
 
 
+# CIA pair -> CLI flag (circ.c:300-302).
+CIA_PAIRS = {(CiaId.N2, CiaId.N2): "N2-N2", (CiaId.O2, CiaId.N2): "O2-N2",
+             (CiaId.O2, CiaId.O2): "O2-O2"}
+
+_CFC_VAR = {CfcId.CFC11: "CFC11_abundance", CfcId.CFC12: "CFC12_abundance",
+            CfcId.CCl4: "CCl4_abundance"}
+
+
+def load_case_file(path: str, *, molecules=CASE1_MOLECULES,
+                   cfcs=CASE1_CFCS, cias=tuple(CIA_PAIRS),
+                   clean: bool = True, clear: bool = True,
+                   albedo: float | None = None,
+                   z: int = 0, Z: int | None = None) -> Atmosphere:
+    """Read a CIRC case netCDF input (circ.c create_atmosphere, :103-436).
+
+    Contract mirrored from the reference binary:
+      * ``levels`` dimension, optional [z, Z] level-index window;
+      * per-layer gas/CFC abundances (mole fraction) interpolate to
+        levels in pressure space and scale to ppmv.  The interpolation
+        uses basic-circ-test.c:50-64's (i-1, i) bracketing — level i
+        lies between layer midpoints i-1 and i; circ.c:243-248 shifts
+        the same formula by one index, reading one element past its
+        abundance buffer at the top interior level (a reference bug this
+        build does not reproduce);
+      * ``solar_zenith_angle`` [degrees] -> cosine; the file's
+        ``toa_solar_irradiance`` is the horizontal TOA flux, so TSI =
+        irradiance / cos(sza) (circ.c:165-172);
+      * surface albedo: the (wavenumber, surface_albedo) spectrum, or a
+        constant when ``albedo`` is given (the ``-a`` flag,
+        circ.c:175-198); emissivity is 1 (circ.c:200-207);
+      * CIA: N2 is well-mixed at 0.781 mole fraction, O2 reuses
+        ``O2_abundance`` (circ.c:308-355);
+      * aerosols (unless ``clean``): per-layer tau at 1 um + a scalar
+        Angstrom exponent, grey omega/g (circ.c:358-416);
+      * clouds (unless ``clear``): ``liquid_water_path`` [g m-2] and
+        droplet size; content [g m-3] needs the layer thickness from
+        the case level heights when present.
+    """
+    from ..utils import ncio
+
+    with ncio.Dataset(path) as ds:
+        nlev_file = ds.dim_size("levels")
+        Zi = nlev_file - 1 if Z is None else Z
+        nlev = Zi - z + 1
+        nlay = nlev - 1
+        ls = (slice(z, z + nlev),)
+        ys = (slice(z, z + nlay),)
+
+        p_lev = ds.var("level_pressure", ls)[None, :]
+        p_lay = ds.var("layer_pressure", ys)[None, :]
+        t_lev = ds.var("level_temperature", ls)[None, :]
+        t_lay = ds.var("layer_temperature", ys)[None, :]
+        t_sfc = np.atleast_1d(ds.var("surface_temperature"))[:1]
+
+        mu = np.cos(np.deg2rad(np.atleast_1d(
+            ds.var("solar_zenith_angle"))[:1]))
+        tsi = np.atleast_1d(ds.var("toa_solar_irradiance"))[:1] / mu
+
+        if albedo is not None:
+            albedo_grid = np.array([-1.0, 0.0])
+            albedo_arr = np.full((1, 2), float(albedo))
+        else:
+            albedo_grid = ds.var("wavenumber")
+            albedo_arr = ds.var("surface_albedo")[None, :]
+
+        def to_ppmv(name):
+            ab = ds.var(name, ys)[None, :]
+            return pressure_interp_layers_to_levels(ab, p_lay, p_lev) * 1e6
+
+        ppmv = {int(m): to_ppmv(f"{MoleculeId(m).name}_abundance")
+                for m in molecules}
+        cfc_ppmv = {int(c): to_ppmv(_CFC_VAR[CfcId(c)]) for c in cfcs}
+
+        cia_ppmv = {}
+        for s1, s2 in cias:
+            for s in (s1, s2):
+                if int(s) in cia_ppmv:
+                    continue
+                if s == CiaId.N2:
+                    cia_ppmv[int(s)] = np.full_like(p_lev, 0.781e6)
+                elif s == CiaId.O2:
+                    cia_ppmv[int(s)] = to_ppmv("O2_abundance")
+
+        kw = {}
+        if not clean:
+            kw.update(
+                aerosol_optical_depth_1um=ds.var(
+                    "aerosol_optical_depth_at_1_micron", ys)[None, :],
+                aerosol_angstrom_exponent=float(
+                    np.atleast_1d(ds.var("angstrom_exponent"))[0]),
+                aerosol_single_scatter_albedo=ds.var(
+                    "aerosol_single_scatter_albedo", ys)[None, :],
+                aerosol_asymmetry_factor=ds.var(
+                    "aerosol_asymmetry_factor", ys)[None, :])
+        if not clear:
+            lwp = ds.var("liquid_water_path", ys)[None, :]
+            if ds.has("height_above_sea_level"):
+                zm = ds.var("height_above_sea_level", ls) * 1000.0
+                thick = np.abs(zm[:-1] - zm[1:])[None, :]
+            else:
+                thick = np.ones_like(lwp)
+            kw.update(
+                cloud_fraction=(lwp > 0.0).astype(np.float64),
+                liquid_water_content=lwp / thick,
+                ice_water_content=(ds.var("ice_water_path", ys)[None, :]
+                                   / thick
+                                   if ds.has("ice_water_path")
+                                   else np.zeros_like(lwp)),
+                layer_thickness=thick)
+
+    return Atmosphere(
+        level_pressure=p_lev, level_temperature=t_lev,
+        layer_temperature=t_lay, surface_temperature=t_sfc,
+        ppmv=ppmv, cfc_ppmv=cfc_ppmv, cia_ppmv=cia_ppmv,
+        cos_zenith=mu, total_solar_irradiance=tsi,
+        albedo_grid=albedo_grid, albedo=albedo_arr,
+        clean=clean, clear=clear, **kw)
+
+
 def case1_solar_flux(grid: SpectralGrid) -> SolarFlux:
     """Normalized incident solar spectrum from the embedded TOA solar
     function (basic-circ-test.c uses toa_solar_function with the case TSI)."""
@@ -134,12 +253,21 @@ def build_driver(hitran_path: str | None = None,
 
 
 def main(argv=None):
-    """basic-circ-test equivalent: run embedded case 1 and print the
-    integrated fluxes next to the LBLRTM / CIRC-mean references
+    """CIRC runner (circ.c:76-101 flag surface): with an input file, run
+    that case's netCDF column; without one, run embedded case 1 and print
+    the integrated fluxes next to the LBLRTM / CIRC-mean references
     (basic-circ-test.c:444-501)."""
     from ..framework import cli
 
     p = cli.shared_parser("CIRC case benchmark (embedded case 1).")
+    p.add_argument("input_file", nargs="?", default=None,
+                   help="CIRC case netCDF input; omit for embedded case 1.")
+    p.add_argument("-a", type=float, default=None, dest="albedo",
+                   help="Constant surface albedo override (circ.c:175).")
+    p.add_argument("-z", type=int, default=0,
+                   help="Starting level index (circ.c:105).")
+    p.add_argument("-Z", type=int, default=None,
+                   help="Ending level index (circ.c:106).")
     cli.add_gas_flags(p, [m.name for m in CASE1_MOLECULES],
                       cfcs=["CFC-11", "CFC-12", "CCl4"],
                       cias=["N2-N2", "O2-N2", "O2-O2"])
@@ -150,7 +278,14 @@ def main(argv=None):
     cli.configure(args)
 
     lw_grid, sw_grid = cli.grids_from_args(args)
-    atm = case1_atmosphere(clean=True, clear=not args.clouds)
+    if args.input_file:
+        mols = tuple(m for m in CASE1_MOLECULES
+                     if getattr(args, m.name, False)) or CASE1_MOLECULES
+        atm = load_case_file(args.input_file, molecules=mols,
+                             clean=True, clear=not args.clouds,
+                             albedo=args.albedo, z=args.z, Z=args.Z)
+    else:
+        atm = case1_atmosphere(clean=True, clear=not args.clouds)
     hitran = None if args.hitran_file in ("none", "-") else args.hitran_file
     driver = build_driver(hitran_path=hitran, lw_grid=lw_grid,
                           sw_grid=sw_grid, wcutoff=args.line_cutoff)
@@ -168,13 +303,34 @@ def main(argv=None):
             ice=PadeCloudOptics.from_netcdf(args.ice_path)).driver_callback()
 
     res = driver.run(atm, integrated=True)
-    print(f"{'Variable':<12}{'GRTCODE-TPU':>14}{'LBLRTM':>10}{'CIRC mean':>11}")
-    for name, refs in CASE1_REFERENCE.items():
-        got = float(res.variable(name)[0])
-        lbl = refs["lblrtm"]
-        mean = refs["circ_mean"]
-        print(f"{name:<12}{got:>14.4f}{lbl:>10.2f}"
-              f"{mean if mean is not None else '':>11}")
+
+    # Per-level flux output file (circ.c create_flux_file/write_output,
+    # :527-560: rlu/rld/rsu/rsd over the level dimension).
+    if args.output:
+        from ..utils import ncio
+
+        tier = ("af" if "af" in res.tiers
+                else "cs" if "cs" in res.tiers else "csaf")
+        std = {"rlu": "upwelling_longwave_flux_in_air",
+               "rld": "downwelling_longwave_flux_in_air",
+               "rsu": "upwelling_shortwave_flux_in_air",
+               "rsd": "downwelling_shortwave_flux_in_air"}
+        with ncio.Writer(args.output) as w:
+            w.create_dimension("level", atm.num_levels)
+            for name, sname in std.items():
+                w.create_variable(name, ("level",),
+                                  res.tiers[tier][name][0],
+                                  units="W m-2", standard_name=sname)
+
+    if args.input_file is None:
+        print(f"{'Variable':<12}{'GRTCODE-TPU':>14}{'LBLRTM':>10}"
+              f"{'CIRC mean':>11}")
+        for name, refs in CASE1_REFERENCE.items():
+            got = float(res.variable(name)[0])
+            lbl = refs["lblrtm"]
+            mean = refs["circ_mean"]
+            print(f"{name:<12}{got:>14.4f}{lbl:>10.2f}"
+                  f"{mean if mean is not None else '':>11}")
     return res
 
 

@@ -21,8 +21,9 @@ from tests.test_era5 import T as ERA5_T, Y as ERA5_Y, X as ERA5_X
 COARSE = ["-r-lw", "4.0", "-r-sw", "10.0"]
 
 
-def test_circ_main(capsys):
-    circ.main(["none", "none"] + COARSE)
+def test_circ_main(capsys, tmp_path):
+    circ.main(["none", "none", "-o", str(tmp_path / "circ1_out.nc")]
+              + COARSE)
     out = capsys.readouterr().out
     assert "RLUTCSAF" in out and "LBLRTM" in out
     # Transparent-gas run still produces the exact TSI*mu SW TOA value.

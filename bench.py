@@ -29,9 +29,11 @@ molecule with padded line count L and rows = B x layers
               zone sets the cost — core-adjacent (region-0/1 select +
               both masks) ~25 VPU ops, interior pure-region-0 unmasked
               ~12, edge (region 0 + window mask) ~17
-  near core:  full Humlicek at 2*hw+1 offsets (~60 VPU ops) plus the
-              one-hot MXU placement (2*tile MACs per offset)
-              -> L*rows*(2*hw+1)*(60 + 2*tile)
+  near core:  cheap region-0/1 value at 2*hw+1 offsets (~18 VPU ops)
+              plus the one-hot MXU placement (2*tile MACs per offset);
+              the full ~300-op Humlicek correction is predicated per
+              (chunk, offset) and modeled as running at ~2 offsets
+              -> L*rows*((2*hw+1)*(18 + 2*tile) + 2*300)
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
@@ -268,7 +270,7 @@ def main():
             interior = 2 * max(fsteps - margin - gas.tile - reach0 + 1, 0)
             edge = max(total - core - interior, 0)
             far = core * 25 + interior * 12 + edge * 17
-            near = (2 * hw + 1) * (60 + 2 * gas.tile)
+            near = (2 * hw + 1) * (18 + 2 * gas.tile) + 2 * 300
             flops += float(L) * rows * (far + near)
         # Continua/CFC/CIA + solver work: ~a few e9, negligible next to
         # the line kernels; omitted rather than padded.

@@ -381,7 +381,22 @@ def _voigt_kernel(lo_ref, nchunks_ref, cnl_ref, cnh_ref, m0l_ref, m0h_ref,
                     jnp.int32, (ch, tile), 1).astype(jnp.float32)
                 valid_line = c0 > -1e8
                 coeffs = _humlicek_y_coeffs(y, yq, xlim0)
+                xlim0_s = coeffs[0]
+                # Lanes with |x| >= sqrt(164) are Humlicek region 0/1 for
+                # every y (xlim1^2 <= 164), EXCEPT the tiny-y branch
+                # (y <= 1e-6 forces xlim1 = xlim2 = xlim0_s, i.e. the CPF
+                # region reaches out to xlim0).
+                tiny = y <= 0.000001
                 acc = jnp.zeros((tile, rblock), jnp.float32)
+
+                def dot_place(onehot, contrib):
+                    # HIGHEST: the MXU's default bf16 passes would round
+                    # the near-core (peak) tau values to ~1e-3 relative.
+                    return jax.lax.dot_general(
+                        onehot, contrib, (((0,), (0,)), ((), ())),
+                        precision=jax.lax.Precision.HIGHEST,
+                        preferred_element_type=jnp.float32)
+
                 for o in range(2 * hw + 1):
                     off = jnp.float32(o - hw)
                     # g - cidx = off - adj; in-window, near-core, and
@@ -391,18 +406,34 @@ def _voigt_kernel(lo_ref, nchunks_ref, cnl_ref, cnh_ref, m0l_ref, m0h_ref,
                         (c0 + off < jnp.float32(num_global))
                     xi = (off - ftot) * rw
                     xq = xi * xi
-                    k_full = _humlicek_eval(xi, xq, y, yq, a0, d0, d2,
-                                            coeffs)
+                    abx = jnp.abs(xi)
+                    # Cheap regions 0/1 value — exact for every unmasked
+                    # lane with xq >= 164 (non-tiny y); always accumulated.
+                    k0 = (y * jnp.float32(_RSQRPI)) / (xq + yq)
+                    k1 = (jnp.float32(_RSQRPI)
+                          / (d0 + xq * (d2 + xq))) * y * (a0 + xq)
+                    k01 = jnp.where(abx >= xlim0_s, k0, k1)
                     k_lor = snum0 / (xq + yq)      # exact Lorentz lanes
-                    contrib = jnp.where(lor, k_lor, sfac * k_full)
-                    contrib = jnp.where(m, contrib, 0.0)  # (ch, rblock)
+                    cheap = jnp.where(lor, k_lor, sfac * k01)
+                    cheap = jnp.where(m, cheap, 0.0)   # (ch, rblock)
                     onehot = jnp.where(pos[:, :1] + off == iota_t, 1.0, 0.0)
-                    # HIGHEST: the MXU's default bf16 passes would round
-                    # the near-core (peak) tau values to ~1e-3 relative.
-                    acc = acc + jax.lax.dot_general(
-                        onehot, contrib, (((0,), (0,)), ((), ())),
-                        precision=jax.lax.Precision.HIGHEST,
-                        preferred_element_type=jnp.float32)
+                    acc = acc + dot_place(onehot, cheap)
+
+                    # Full-region correction, only when some lane actually
+                    # falls inside the expensive regions 2-4.  At SW
+                    # resolution most (chunk, offset) pairs skip this —
+                    # the dominant near-core cost (the ~300-op CPF/k3/k4
+                    # evaluation) runs rarely instead of always.
+                    need = m & jnp.logical_not(lor) & \
+                        ((xq < 164.1) | tiny)
+                    pred = jnp.any(need)
+
+                    @pl.when(pred)
+                    def _(xi=xi, xq=xq, k01=k01, need=need, onehot=onehot):
+                        k_full = _humlicek_eval(xi, xq, y, yq, a0, d0, d2,
+                                                coeffs)
+                        corr = jnp.where(need, sfac * (k_full - k01), 0.0)
+                        out_ref[:] += dot_place(onehot, corr)
                 out_ref[:] += acc
         return 0
 

@@ -80,6 +80,11 @@ class RadiationDriver:
     cloud_optics: Callable | None = None
     num_subcolumns: int = 1   # driver.c:503 (reference uses 1)
     cloud_seed: int = 0
+    # SW solver choice: "two_stream" (delta-Eddington + Meador-Weaver +
+    # adding, the default) or "disort" (16-stream discrete ordinates —
+    # the reference's optional --enable-disort build).
+    sw_solver: str = "two_stream"
+    disort_streams: int = 16
     # jitted-step memo: run() is called once per batch; without this every
     # call would rebuild the closures and re-trace.
     _step_cache: dict = dataclasses.field(default_factory=dict, repr=False)
@@ -307,12 +312,27 @@ class RadiationDriver:
                 mu = jnp.maximum(c["mu"], 1e-6)
                 sol = (sol_padded if full else jax.lax.dynamic_slice_in_dim(
                     sol_padded, jnp.asarray(start_sw, jnp.int32), block_sw))
-                fsu, fsd = shortwave_fluxes(
-                    optics.tau, optics.omega, optics.g, mu,
-                    jnp.full_like(mu, DIFFUSE_MU),
-                    surface(c["albedo_dir"], block_sw),
-                    surface(c["albedo_dif"], block_sw),
-                    c["tsi"], sol)
+                if self.sw_solver == "disort":
+                    # Runtime equivalent of the reference's compile-time
+                    # --enable-disort swap (configure.ac:97-106,
+                    # disort_shortwave.c:18-86): the 16-stream
+                    # discrete-ordinates solver replaces the two-stream
+                    # delta-Eddington + adding path per column.
+                    from ..solvers.disort import disort_shortwave
+
+                    fsu, fsd = jax.vmap(
+                        lambda t, o, gg, m, ad, ts: disort_shortwave(
+                            t, o, gg, m, ad, ts, sol,
+                            nstr=self.disort_streams))(
+                        optics.tau, optics.omega, optics.g, mu,
+                        surface(c["albedo_dir"], block_sw), c["tsi"])
+                else:
+                    fsu, fsd = shortwave_fluxes(
+                        optics.tau, optics.omega, optics.g, mu,
+                        jnp.full_like(mu, DIFFUSE_MU),
+                        surface(c["albedo_dir"], block_sw),
+                        surface(c["albedo_dif"], block_sw),
+                        c["tsi"], sol)
                 day = (c["mu"] > 0.0).astype(jnp.float32)[:, None]
                 shp = day if integrated else day[..., None]
                 return reduce_sw(fsu) * shp, reduce_sw(fsd) * shp

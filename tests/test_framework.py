@@ -123,3 +123,32 @@ def test_night_batch_skips_sw_and_memoized_step(driver, atm):
     s2 = driver._step(True, True, True, None, with_sw=True)
     assert s1 is s2
     assert driver._step(True, True, True, None, with_sw=False) is not s1
+
+
+def test_disort_sw_solver_option(atm):
+    """sw_solver="disort" swaps the 16-stream discrete-ordinates solver
+    into the SW pass (the reference's --enable-disort build,
+    configure.ac:97-106).  For the transparent-gas case the TOA downward
+    flux is solver-independent (TSI*mu) and the discrete-ordinates
+    results stay close to the two-stream ones."""
+    import dataclasses as dc
+
+    lw_grid = SpectralGrid(1.0, 3250.0, 10.0)
+    sw_grid = SpectralGrid(1.0, 50000.0, 10.0)
+    d2 = circ.build_driver(lw_grid=lw_grid, sw_grid=sw_grid, line_chunk=64)
+    dd = dc.replace(d2, sw_solver="disort", disort_streams=4,
+                    _step_cache={})
+    res2 = d2.run(atm, integrated=True)
+    resd = dd.run(atm, integrated=True)
+    rsdt2 = float(res2.variable("RSDTCSAF")[0])
+    rsdtd = float(resd.variable("RSDTCSAF")[0])
+    assert abs(rsdtd - rsdt2) / rsdt2 < 1e-4
+    # Rayleigh-only scattering: both solvers should agree on the surface
+    # downwelling to within a few percent (stream-count difference).
+    rsds2 = float(res2.variable("RSDSCSAF")[0])
+    rsdsd = float(resd.variable("RSDSCSAF")[0])
+    assert abs(rsdsd - rsds2) / rsds2 < 0.05
+    # Energy conservation for the discrete-ordinates path.
+    rsutd = float(resd.variable("RSUTCSAF")[0])
+    rsusd = float(resd.variable("RSUSCSAF")[0])
+    assert (rsdtd - rsutd) - (rsdsd - rsusd) >= -1e-2

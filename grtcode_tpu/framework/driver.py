@@ -204,6 +204,15 @@ class RadiationDriver:
 
         out = self._step(atm.clean, atm.clear, integrated, mesh,
                          with_sw=with_sw)(dev, cloud_args)
+        if not integrated and mesh is not None:
+            # Sharded spectral blocks are tile-padded; trim each band
+            # back to its grid length.
+            nw_lw = self.lw_gas.grid.n
+            nw_sw = (self.sw_gas.grid.n if self.sw_gas is not None
+                     else nw_lw)
+            out = {t: {k: v[..., :nw_lw if k in ("rlu", "rld") else nw_sw]
+                       for k, v in d.items()}
+                   for t, d in out.items()}
         return FluxResults(tiers=jax.tree.map(np.asarray, out),
                            integrated=integrated)
 
@@ -240,12 +249,16 @@ class RadiationDriver:
                if self.sw_gas is not None and with_sw else None)
         sol_full = (self.solar.incident_flux if self.solar is not None
                     else jnp.zeros((1,), jnp.float32))
-        if mesh is not None and not integrated:
-            raise NotImplementedError(
-                "spectrally-resolved output under a mesh: gather the "
-                "blocks with integrated=True per-shard output instead")
-
         S = 1 if mesh is None else mesh.shape[SPECTRAL_AXIS]
+        if mesh is not None and not integrated and S > 1:
+            # A columns-only mesh (S == 1) IS supported for spectral
+            # output — the reference's production layout (columns
+            # sharded across ranks, full spectrum per rank,
+            # run-rfmip-irf.sh:102-125).
+            raise NotImplementedError(
+                "spectrally-resolved output with spectral sharding: use "
+                "a (columns, 1) mesh, or gather integrated=True "
+                "per-shard blocks instead")
 
         def _block(n, tile):
             """ceil(n / S) rounded up to the gas-optics tile (tiled

@@ -156,3 +156,30 @@ def test_three_tier_driver_sharded_matches_single():
             np.testing.assert_allclose(
                 got / scale, ref / scale, atol=2e-5,
                 err_msg=f"{tier}/{var}")
+
+
+def test_spectral_output_columns_only_mesh():
+    """Spectrally-resolved output works on a columns-only mesh — the
+    reference's actual production layout (columns sharded across SLURM
+    ranks, full spectrum per rank, run-rfmip-irf.sh:102-125) — and
+    matches the unsharded spectral result; spectral sharding still
+    raises."""
+    import pytest
+    from grtcode_tpu.apps import circ
+    from grtcode_tpu.spectral import SpectralGrid
+
+    atm = _tile_atmosphere(circ.case1_atmosphere(), 8)
+    drv = circ.build_driver(lw_grid=SpectralGrid(1.0, 3250.0, 8.0),
+                            sw_grid=SpectralGrid(1.0, 50000.0, 10.0),
+                            line_chunk=64)
+    full = drv.run(atm, integrated=False)
+    sharded = drv.run(atm, integrated=False, mesh=make_mesh(8, 1))
+    for var in ("rlu", "rld", "rsu", "rsd"):
+        ref = np.asarray(full.tiers["csaf"][var])
+        got = np.asarray(sharded.tiers["csaf"][var])
+        assert got.shape == ref.shape, var
+        scale = np.abs(ref).max() + 1e-6
+        np.testing.assert_allclose(got / scale, ref / scale, atol=2e-5,
+                                   err_msg=var)
+    with pytest.raises(NotImplementedError):
+        drv.run(atm, integrated=False, mesh=make_mesh(2, 4))

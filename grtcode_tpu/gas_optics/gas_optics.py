@@ -239,13 +239,19 @@ class GasOptics:
             psavg, ns = psavg2.reshape(rows), ns2.reshape(rows)
             prep = lines_mod.prepare(bound, self.grid, pavg, tavg, psavg,
                                      tips=self.tips)
-            # Materialize the (rows, L) prep arrays: without a barrier XLA
-            # fuses the prep math (exp/pow per line) into the near-core
-            # pass's gathers, recomputing it per (grid point, k) — a ~100x
-            # slowdown measured on TPU v5e.
-            prep = lines_mod.PreparedLines(*jax.lax.optimization_barrier(
-                (prep.center_idx, prep.center_frac, prep.strength,
-                 prep.lorentz, prep.doppler)))
+            use_pallas = self._use_pallas()
+            if not (use_pallas and self.method in ("tiled", "line_sample")):
+                # Materialize the (rows, L) prep arrays: without a barrier
+                # XLA fuses the prep math (exp/pow per line) into the
+                # near-core pass's gathers, recomputing it per (grid
+                # point, k) — a ~100x slowdown measured on TPU v5e.  The
+                # fused Pallas path consumes prep only through the
+                # elementwise channel-stack build, where fusing prep IN
+                # saves the (rows, L) HBM round trip instead.
+                prep = lines_mod.PreparedLines(
+                    *jax.lax.optimization_barrier(
+                        (prep.center_idx, prep.center_frac, prep.strength,
+                         prep.lorentz, prep.doppler)))
             if bin_method:
                 br = self._get_bin_ranges(mol_id)
                 tau, bins_tau = bins_mod.accumulate_bins(

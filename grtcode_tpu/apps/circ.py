@@ -158,7 +158,14 @@ def load_case_file(path: str, *, molecules=CASE1_MOLECULES,
 
         mu = np.cos(np.deg2rad(np.atleast_1d(
             ds.var("solar_zenith_angle"))[:1]))
-        tsi = np.atleast_1d(ds.var("toa_solar_irradiance"))[:1] / mu
+        # circ.c:171 divides unguarded; a night column (mu <= 0) would
+        # produce inf/negative TSI that can leak NaNs through the spectral
+        # day mask (0 * inf), so zero it — SW is skipped/masked anyway.
+        tsi = np.where(
+            mu > 0.0,
+            np.atleast_1d(ds.var("toa_solar_irradiance"))[:1]
+            / np.where(mu > 0.0, mu, 1.0),
+            0.0)
 
         if albedo is not None:
             albedo_grid = np.array([-1.0, 0.0])
@@ -271,6 +278,9 @@ def main(argv=None):
     cli.add_gas_flags(p, [m.name for m in CASE1_MOLECULES],
                       cfcs=["CFC-11", "CFC-12", "CCl4"],
                       cias=["N2-N2", "O2-N2", "O2-O2"])
+    p.add_argument("-clean", action="store_true",
+                   help="Run without aerosols (circ.c:92; aerosols are ON "
+                        "by default for case files).")
     p.add_argument("-clouds", action="store_true",
                    help="Enable the all-sky tier (needs -liquid-path/"
                         "-ice-path Pade files).")
@@ -282,7 +292,7 @@ def main(argv=None):
         mols = tuple(m for m in CASE1_MOLECULES
                      if getattr(args, m.name, False)) or CASE1_MOLECULES
         atm = load_case_file(args.input_file, molecules=mols,
-                             clean=True, clear=not args.clouds,
+                             clean=args.clean, clear=not args.clouds,
                              albedo=args.albedo, z=args.z, Z=args.Z)
     else:
         atm = case1_atmosphere(clean=True, clear=not args.clouds)

@@ -115,13 +115,19 @@ def load_atmosphere(era5_path: str, ghg_path: str, year: int,
         # comments the derivation out and hardcodes -1 -> LW only).
         tisr = nc.var("tisr", (t, y, x)) / SECONDS_PER_DAY   # W m-2
         if derive_zenith:
-            lat = nc.var("lat")
-            w = np.cos(np.deg2rad(lat))
-            zonal_mean = tisr.mean(axis=2)          # (T, Ysel) -- selected
-            mean_irr = 4.0 * np.average(
-                zonal_mean, axis=1, weights=w[y] if lat.ndim else None)
+            # mu = tisr / planetary-mean irradiance, where the mean is a
+            # cos(lat)-weighted average of the GLOBAL field (era5.c:352-400
+            # reads weights and irradiance with start=0 over every lat/lon,
+            # not the selected hyperslab) times 4 (sphere/disc ratio).
+            lat_g = nc.var("lat")
+            w_g = np.cos(np.deg2rad(lat_g))
+            tisr_g = nc.var("tisr", (t, slice(None), slice(None))) \
+                / SECONDS_PER_DAY
+            zonal = tisr_g.mean(axis=2)              # (T, nlat_global)
+            mean_irr = 4.0 * (zonal * w_g).sum(axis=1) / w_g.sum()
             mu = (tisr / mean_irr[:, None, None]).reshape(-1)
-            tsi = tisr.reshape(-1) / (SECONDS_PER_DAY * np.maximum(mu, 1e-6))
+            # era5.c:429: tsi = tisr / (86400 * mu); night columns (the
+            # reference leaves them negative, unused) are zeroed here.
             tsi = np.where(mu > 0, tisr.reshape(-1) / np.maximum(mu, 1e-6),
                            0.0)
         else:
@@ -179,51 +185,170 @@ def load_atmosphere(era5_path: str, ghg_path: str, year: int,
     )
 
 
-def write_fluxes(path: str, results, shape_tyx: tuple, lon_start: int,
-                 lon_stop: int, lon_global_size: int, tier: str = "csaf",
-                 lw_grid=None, sw_grid=None):
-    """Write flux variables with the segment-merge attributes the combiner
-    relies on (era5.c:156-159, 880-955).
+# The reference flux file's variable surface (era5.c:865-955):
+# (name, standard_name, tier, flux key, level selector).  "sfc"/"toa"
+# pick the boundary level, "user" the -l user level.  Every variable is
+# DEFINED in every file; data lands only for tiers/bands the run computed
+# (write_output fills computed ids, the rest stay netCDF fill values).
+_FLUX_VARS = (
+    ("rldsaf", "downwelling_surface_aerosol_free_longwave_flux_in_air",
+     "af", "rld", "sfc"),
+    ("rlusaf", "upwelling_surface_aerosol_free_longwave_flux_in_air",
+     "af", "rlu", "sfc"),
+    ("rlutaf", "upwelling_toa_aerosol_free_longwave_flux_in_air",
+     "af", "rlu", "toa"),
+    ("rldscsaf",
+     "downwelling_surface_clear_sky_aerosol_free_longwave_flux_in_air",
+     "csaf", "rld", "sfc"),
+    ("rluscsaf",
+     "upwelling_surface_clear_sky_aerosol_free_longwave_flux_in_air",
+     "csaf", "rlu", "sfc"),
+    ("rlutcsaf",
+     "upwelling_toa_clear_sky_aerosol_free_longwave_flux_in_air",
+     "csaf", "rlu", "toa"),
+    ("rluaf_level", "upwelling_aerosol_free_longwave_flux_in_air",
+     "af", "rlu", "user"),
+    ("rldaf_level", "downwelling_aerosol_free_longwave_flux_in_air",
+     "af", "rld", "user"),
+    ("rlucsaf_level",
+     "upwelling_clear_sky_aerosol_free_longwave_flux_in_air",
+     "csaf", "rlu", "user"),
+    ("rldcsaf_level",
+     "downwelling_clear_sky_aerosol_free_longwave_flux_in_air",
+     "csaf", "rld", "user"),
+    ("rsdsaf", "downwelling_surface_aerosol_free_shortwave_flux_in_air",
+     "af", "rsd", "sfc"),
+    ("rsusaf", "upwelling_surface_aerosol_free_shortwave_flux_in_air",
+     "af", "rsu", "sfc"),
+    ("rsdtaf", "downwelling_toa_aerosol_free_shortwave_flux_in_air",
+     "af", "rsd", "toa"),
+    ("rsutaf", "upwelling_toa_aerosol_free_shortwave_flux_in_air",
+     "af", "rsu", "toa"),
+    ("rsdscsaf",
+     "downwelling_surface_clear_sky_aerosol_free_shortwave_flux_in_air",
+     "csaf", "rsd", "sfc"),
+    ("rsuscsaf",
+     "upwelling_surface_clear_sky_aerosol_free_shortwave_flux_in_air",
+     "csaf", "rsu", "sfc"),
+    ("rsdtcsaf",
+     "downwelling_toa_clear_sky_aerosol_free_shortwave_flux_in_air",
+     "csaf", "rsd", "toa"),
+    ("rsutcsaf",
+     "upwelling_toa_clear_sky_aerosol_free_shortwave_flux_in_air",
+     "csaf", "rsu", "toa"),
+    ("rsuaf_level", "upwelling_aerosol_free_shortwave_flux_in_air",
+     "af", "rsu", "user"),
+    ("rsdaf_level", "downwelling_aerosol_free_shortwave_flux_in_air",
+     "af", "rsd", "user"),
+    ("rsucsaf_level",
+     "upwelling_clear_sky_aerosol_free_shortwave_flux_in_air",
+     "csaf", "rsu", "user"),
+    ("rsdcsaf_level",
+     "downwelling_clear_sky_aerosol_free_shortwave_flux_in_air",
+     "csaf", "rsd", "user"),
+)
 
-    Integrated results -> (time, lat, lon, level) profiles; spectrally
-    resolved results (results.integrated False) -> the reference's 4-D
-    (time, lat, lon, wavenumber) TOA/surface variables on
-    lw_wavenumber/sw_wavenumber dims (era5.c:880-955)."""
+# State variables written per column (driver.c:716-738): name,
+# standard_name, units, Atmosphere attribute / ppmv molecule.
+_STATE_VARS = (
+    ("p", "air_pressure", "mb", "level_pressure"),
+    ("t", "air_temperature", "K", "level_temperature"),
+    ("h2o_vmr", "water_vapor_vmr", "ppmv", MoleculeId.H2O),
+    ("o3_vmr", "ozone_vmr", "ppmv", MoleculeId.O3),
+    ("ch4_vmr", "methane_vmr", "ppmv", MoleculeId.CH4),
+    ("co2_vmr", "carbon_dioxide_vmr", "ppmv", MoleculeId.CO2),
+    ("n2o_vmr", "nitrous_oxide_vmr", "ppmv", MoleculeId.N2O),
+)
+
+_DEFAULT_SW_GRID = (1.0, 50000.0, 1.0)   # driver.c:918-921 default band
+
+
+def write_fluxes(path: str, results, shape_tyx: tuple, lon_start: int,
+                 lon_stop: int, lon_global_size: int, lw_grid=None,
+                 sw_grid=None, atm=None, user_level: int = -1):
+    """Write the reference-shaped ERA5 flux file (era5.c:760-1060).
+
+    Defines the full reference variable surface — both AF and CSAF tier
+    fluxes at surface/TOA/user level for both bands, plus the atmospheric
+    state (p, t, vmr profiles, ts, t_layer) — with the
+    lon_start/lon_stop/lon_global_size merge attributes (era5.c:156-159).
+    Data is written for whatever the run computed: tiers present in
+    ``results.tiers``, SW only when ``sw_grid`` is given (the shipped
+    reference binary is LW-only, so its SW variables stay fill values —
+    same here), user-level variables only when ``user_level >= 0``.
+    Integrated results are 3-D (time, lat, lon); spectral results add the
+    lw_wavenumber/sw_wavenumber dim (era5.c:842-846 num_dimensions).
+    ``atm`` supplies the state profiles; omit to define them unwritten.
+    """
+    from ..spectral import SpectralGrid
+
     T, Y, X = shape_tyx
-    tiers = results.tiers[tier]
-    nlev = tiers["rlu"].shape[1]
+    any_tier = next(iter(results.tiers.values()))
+    nlev = any_tier["rlu"].shape[1]
+    nlay = nlev - 1
+    integrated = results.integrated
+    if lw_grid is None:
+        raise ValueError("write_fluxes needs lw_grid")
+    sw_def = sw_grid or SpectralGrid(*_DEFAULT_SW_GRID)
+
+    def grid4(data):
+        """(B, ...) -> (time, lat, lon, ...)."""
+        d = np.asarray(data)
+        return d.reshape(T, Y, X, *d.shape[1:])
+
+    def profile4(data):
+        """(B, nz) -> (time, z, lat, lon) (write_output's start/count
+        layout for LEVEL_*/LAYER_* ids, era5.c:993-1003)."""
+        d = np.asarray(data)
+        return d.reshape(T, Y, X, d.shape[1]).transpose(0, 3, 1, 2)
+
     with Writer(path) as w:
         w.create_dimension("time", T)
         w.create_dimension("lat", Y)
         w.create_dimension("lon", X)
-        if results.integrated:
-            w.create_dimension("level", nlev)
-            for key, name in (("rlu", "rlu"), ("rld", "rld"),
-                              ("rsu", "rsu"), ("rsd", "rsd")):
-                w.create_variable(
-                    name, ("time", "lat", "lon", "level"),
-                    np.asarray(tiers[key]).reshape(T, Y, X, nlev),
-                    units="W m-2")
-        else:
-            if lw_grid is None:
-                raise ValueError("spectral output needs lw_grid")
-            w.create_dimension("lw_wavenumber", lw_grid.n,
-                               values=lw_grid.wavenumbers_np())
-            if sw_grid is not None:
-                w.create_dimension("sw_wavenumber", sw_grid.n,
-                                   values=sw_grid.wavenumbers_np())
-            for name, key, lev in (("rlut", "rlu", 0), ("rlus", "rlu", -1),
-                                   ("rlds", "rld", -1), ("rsut", "rsu", 0),
-                                   ("rsus", "rsu", -1), ("rsds", "rsd", -1),
-                                   ("rsdt", "rsd", 0)):
-                wdim = ("lw_wavenumber" if key[1] == "l"
-                        else "sw_wavenumber")
-                if wdim == "sw_wavenumber" and sw_grid is None:
-                    continue   # LW-only configuration (era5.c:406-415)
-                data = np.asarray(tiers[key])[:, lev]
-                w.create_variable(
-                    name, ("time", "lat", "lon", wdim),
-                    data.reshape(T, Y, X, data.shape[-1]), units="W m-2")
+        w.create_dimension("level", nlev)
+        w.create_dimension("layer", nlay)
+        w.create_dimension("lw_wavenumber", lw_grid.n,
+                           values=lw_grid.wavenumbers_np())
+        w.create_dimension("sw_wavenumber", sw_def.n,
+                           values=sw_def.wavenumbers_np())
+
+        for name, std, units, src in _STATE_VARS:
+            dims = ("time", "level", "lat", "lon")
+            data = None
+            if atm is not None:
+                if isinstance(src, str):
+                    data = profile4(getattr(atm, src))
+                elif int(src) in atm.ppmv:
+                    data = profile4(atm.ppmv[int(src)])
+            w.create_variable(name, dims, data, units=units,
+                              standard_name=std)
+        w.create_variable(
+            "ts", ("time", "lat", "lon"),
+            None if atm is None else grid4(atm.surface_temperature),
+            units="K", standard_name="surface_temperature")
+        # NOTE: "mb" matches the reference's (mislabeled) t_layer units
+        # attribute, era5.c:880.
+        w.create_variable(
+            "t_layer", ("time", "layer", "lat", "lon"),
+            None if atm is None else profile4(atm.layer_temperature),
+            units="mb", standard_name="air_layer_temperature")
+
+        for name, std, tier, key, lev in _FLUX_VARS:
+            shortwave = key[1] == "s"
+            wdim = "sw_wavenumber" if shortwave else "lw_wavenumber"
+            dims = (("time", "lat", "lon") if integrated
+                    else ("time", "lat", "lon", wdim))
+            data = None
+            have = (tier in results.tiers
+                    and (sw_grid is not None or not shortwave)
+                    and (user_level >= 0 or lev != "user"))
+            if have:
+                idx = {"toa": 0, "sfc": nlev - 1, "user": user_level}[lev]
+                data = grid4(np.asarray(results.tiers[tier][key])[:, idx])
+            attrs = {"level": user_level} if lev == "user" else {}
+            w.create_variable(name, dims, data, units="W m-2",
+                              standard_name=std, **attrs)
         w.set_global(lon_start=lon_start, lon_stop=lon_stop,
                      lon_global_size=lon_global_size)
 
@@ -284,7 +409,10 @@ def main(argv=None):
     X_ = len(range(*xs.indices(nlon)))
     write_fluxes(args.output, res, (T_, Y_, X_), lon_start=args.x,
                  lon_stop=args.x + X_ - 1, lon_global_size=nlon,
-                 lw_grid=lw_grid, sw_grid=sw_grid if args.sw else None)
+                 lw_grid=lw_grid, sw_grid=sw_grid if args.sw else None,
+                 atm=atm,
+                 user_level=(-1 if args.flux_at_level is None
+                             else args.flux_at_level))
     print(f"wrote {args.output}")
 
 

@@ -85,25 +85,16 @@ class CloudOpticsLib:
 
         Per-layer args (nlayers,); returns a list of (liquid_optics,
         ice_optics) tuples, one per grid, with tau = extinction *
-        thickness (column_calculation, driver.c:519-530).
+        thickness (column_calculation, driver.c:519-530).  Thin wrapper
+        over :meth:`column_optics_w` on each grid's wavenumber array,
+        tagging each returned Optics with its grid.
         """
-        overlap = overlap_from_pressure(layer_pressure_mb)
-        ql, qi = sample_condensate(key, cloud_fraction, lwc, iwc, overlap)
-        rice = ice_particle_size(t_lay) / 2.0
-        rliq = jnp.full_like(rice, self.liquid_radius)
-
-        le, ls, lg = self.liquid.evaluate(ql, rliq)      # (nlayers, nbnd)
-        ie, is_, ig = self.ice.evaluate(qi, rice)
-
-        ws = [grid.wavenumbers() for grid in grids]
-        out = []
-        for grid, (liq, ice) in zip(
-                grids, self.column_optics_w(key, cloud_fraction, lwc, iwc,
-                                            t_lay, layer_pressure_mb,
-                                            layer_thickness, ws)):
+        out = self.column_optics_w(
+            key, cloud_fraction, lwc, iwc, t_lay, layer_pressure_mb,
+            layer_thickness, [grid.wavenumbers() for grid in grids])
+        for grid, (liq, ice) in zip(grids, out):
             liq.grid = grid
             ice.grid = grid
-            out.append((liq, ice))
         return out
 
     def column_optics_w(self, key, cloud_fraction, lwc, iwc, t_lay,

@@ -45,7 +45,7 @@ class FluxResults:
     tiers: dict
     integrated: bool
 
-    _TIER_SUFFIX = {"CSAF": "csaf", "CS": "cs", "AF": "af", "": "all"}
+    _TIER_SUFFIX = {"CSAF": "csaf", "CS": "cs", "AF": "af"}
 
     def variable(self, name: str) -> np.ndarray:
         """Extract a reference-named variable (driver.h:17-92), e.g.
@@ -59,6 +59,13 @@ class FluxResults:
             level, rest = 0, rest[1:]
         elif rest.startswith("S") and rest not in ("CS", "CSAF"):
             level, rest = -1, rest[1:]
+        if rest not in self._TIER_SUFFIX:
+            # Unsuffixed names (RLU, RSDT, ...) are driver.h's full-sky
+            # (aerosols + clouds) slots; column_calculation never fills
+            # them (driver.c computes CSAF/CS/AF only) and neither do we.
+            raise KeyError(
+                f"{name}: no '{rest}' sky tier — the driver produces "
+                "CSAF/CS/AF variables only (driver.c:380-599)")
         tier = self._TIER_SUFFIX[rest]
         data = self.tiers[tier][f"r{band}{direction}"]
         return np.asarray(data[:, level] if level is not None else data)
@@ -86,8 +93,11 @@ class RadiationDriver:
     sw_solver: str = "two_stream"
     disort_streams: int = 16
     # jitted-step memo: run() is called once per batch; without this every
-    # call would rebuild the closures and re-trace.
-    _step_cache: dict = dataclasses.field(default_factory=dict, repr=False)
+    # call would rebuild the closures and re-trace.  init=False so
+    # dataclasses.replace() never shares a populated cache between driver
+    # variants; the solver configuration is ALSO part of the memo key.
+    _step_cache: dict = dataclasses.field(default_factory=dict, init=False,
+                                          repr=False)
 
     # -- host-side spectral surface prep (atmospheric_column,
     #    driver.c:100-115: linear interp, constant extrapolation) ----------
@@ -228,7 +238,9 @@ class RadiationDriver:
         ``with_sw=False`` builds the LW-only variant (night batches /
         the shipped-ERA5 configuration): SW fluxes are integrated zeros.
         """
-        key = (clean, clear, integrated, mesh, with_sw)
+        key = (clean, clear, integrated, mesh, with_sw, self.sw_solver,
+               self.disort_streams, self.num_subcolumns, self.cloud_seed,
+               id(self.cloud_optics))
         try:
             return self._step_cache[key]
         except (KeyError, TypeError):   # TypeError: unhashable mesh

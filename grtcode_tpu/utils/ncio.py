@@ -74,12 +74,24 @@ class Writer:
         ds.make_scale(name)
         self._dims[name] = ds
 
-    def create_variable(self, name: str, dims: tuple, data,
+    def create_variable(self, name: str, dims: tuple, data=None,
                         units: str | None = None, **attrs):
-        arr = np.asarray(data, np.float32)
-        ds = self._f.create_dataset(name, data=arr)
+        """Define a variable over named dimensions; ``data=None`` defines
+        it without writing (the netCDF fill-value pattern era5.c relies on
+        for variables its configuration never computes — HDF5 allocates
+        lazily, so unwritten variables cost no file space)."""
+        if data is None:
+            shape = tuple(self._dims[d].shape[0] for d in dims)
+            ds = self._f.create_dataset(name, shape=shape, dtype=np.float32)
+        else:
+            ds = self._f.create_dataset(name,
+                                        data=np.asarray(data, np.float32))
         for i, d in enumerate(dims):
             ds.dims[i].attach_scale(self._dims[d])
+        # Dimension-name metadata (the netCDF header carries this
+        # natively); tools/combine_segments.py uses it to locate the lon
+        # axis per variable.
+        ds.attrs["_dims"] = np.array([d.encode() for d in dims])
         if units is not None:
             ds.attrs["units"] = units
         for k, v in attrs.items():

@@ -79,35 +79,124 @@ def test_load_and_reorder(era5_file, ghg_file):
 def test_lw_only_run_and_segments(era5_file, ghg_file, tmp_path):
     """Two lon segments run independently, write with merge attrs, and the
     combiner reproduces the full-domain run (the reference's SLURM
-    sharding + combine-segments.py workflow)."""
+    sharding + combine-segments.py workflow) — including the
+    (time, level, lat, lon) state profiles whose lon axis is NOT axis 2."""
     from tools.combine_segments import combine
-    drv = era5.build_driver(lw_grid=SpectralGrid(1.0, 500.0, 1.0),
-                            line_chunk=64)
+    lw_grid = SpectralGrid(1.0, 500.0, 1.0)
+    drv = era5.build_driver(lw_grid=lw_grid, line_chunk=64)
 
     def run(xsel):
         atm = era5.load_atmosphere(era5_file, ghg_file, year=1,
                                    x=xsel, clear=True)
-        return drv.run(atm, integrated=True)
+        return atm, drv.run(atm, integrated=True)
 
-    full = run(slice(None))
+    atm_full, full = run(slice(None))
     seg_paths = []
     for i, xs in enumerate((slice(0, 2), slice(2, 4))):
-        res = run(xs)
+        atm, res = run(xs)
         path = str(tmp_path / f"seg{i}.nc")
         era5.write_fluxes(path, res, (T, Y, 2), lon_start=2 * i,
-                          lon_stop=2 * i + 1, lon_global_size=X)
+                          lon_stop=2 * i + 1, lon_global_size=X,
+                          lw_grid=lw_grid, atm=atm, user_level=3)
         seg_paths.append(path)
 
     merged = str(tmp_path / "merged.nc")
     combine(seg_paths, merged)
     with h5py.File(merged, "r") as f:
-        rlu = np.asarray(f["rlu"])
-    assert rlu.shape == (T, Y, X, Z)
+        rlut = np.asarray(f["rlutcsaf"])
+        rlds = np.asarray(f["rldscsaf"])
+        rlu_user = np.asarray(f["rlucsaf_level"])
+        p = np.asarray(f["p"])
+    assert rlut.shape == (T, Y, X)
     np.testing.assert_allclose(
-        rlu.reshape(T * Y * X, Z),
-        np.asarray(full.tiers["csaf"]["rlu"]), rtol=1e-6)
-    # SW fluxes all zero (no sw_gas / night columns).
-    assert np.all(np.asarray(full.tiers["csaf"]["rsu"]) == 0.0)
+        rlut.reshape(-1), np.asarray(full.tiers["csaf"]["rlu"][:, 0]),
+        rtol=1e-6)
+    np.testing.assert_allclose(
+        rlds.reshape(-1), np.asarray(full.tiers["csaf"]["rld"][:, -1]),
+        rtol=1e-6)
+    np.testing.assert_allclose(
+        rlu_user.reshape(-1), np.asarray(full.tiers["csaf"]["rlu"][:, 3]),
+        rtol=1e-6)
+    # State profile: (time, level, lat, lon), stitched along axis 3.
+    assert p.shape == (T, Z, Y, X)
+    np.testing.assert_allclose(
+        p.transpose(0, 2, 3, 1).reshape(-1, Z),
+        atm_full.level_pressure, rtol=1e-6)
+
+
+def test_output_variable_surface(era5_file, ghg_file, tmp_path):
+    """The flux file defines the reference's full variable set
+    (era5.c:865-955) regardless of what the run computed: state vars,
+    both tiers, both bands, user-level vars."""
+    lw_grid = SpectralGrid(1.0, 500.0, 1.0)
+    drv = era5.build_driver(lw_grid=lw_grid, line_chunk=64)
+    atm = era5.load_atmosphere(era5_file, ghg_file, year=1, clear=True)
+    res = drv.run(atm, integrated=True)
+    path = str(tmp_path / "surface.nc")
+    era5.write_fluxes(path, res, (T, Y, X), lon_start=0, lon_stop=X - 1,
+                      lon_global_size=X, lw_grid=lw_grid, atm=atm)
+    expected = {
+        # era5.c:871-886 state variables
+        "p", "t", "h2o_vmr", "o3_vmr", "ch4_vmr", "co2_vmr", "n2o_vmr",
+        "ts", "t_layer",
+        # era5.c:888-914 LW tier variables
+        "rldsaf", "rlusaf", "rlutaf", "rldscsaf", "rluscsaf", "rlutcsaf",
+        "rluaf_level", "rldaf_level", "rlucsaf_level", "rldcsaf_level",
+        # era5.c:917-950 SW tier variables
+        "rsdsaf", "rsusaf", "rsdtaf", "rsutaf", "rsdscsaf", "rsuscsaf",
+        "rsdtcsaf", "rsutcsaf", "rsuaf_level", "rsdaf_level",
+        "rsucsaf_level", "rsdcsaf_level",
+    }
+    dims = {"time", "lat", "lon", "level", "layer", "lw_wavenumber",
+            "sw_wavenumber"}
+    with h5py.File(path, "r") as f:
+        names = set(f.keys())
+        assert expected <= names
+        assert names - expected == dims
+        # ch4_vmr comes from the GHG annual mean; rlutcsaf has data;
+        # the LW-only run leaves SW variables defined but unwritten.
+        assert np.asarray(f["ch4_vmr"]).max() > 0
+        assert np.asarray(f["rlutcsaf"]).max() > 0
+        assert np.all(np.asarray(f["rsutaf"]) == 0.0)
+        assert f["rsutaf"].shape == (T, Y, X)
+
+
+def test_derive_zenith(era5_file, ghg_file):
+    """cos(zenith) = tisr / planetary-mean irradiance with the mean taken
+    cos(lat)-weighted over the GLOBAL field x4 (the commented-out
+    derivation at era5.c:352-415), and TSI = tisr/(86400 mu)
+    (era5.c:429), zero on night columns."""
+    atm = era5.load_atmosphere(era5_file, ghg_file, year=1,
+                               derive_zenith=True)
+    with h5py.File(era5_file, "r") as f:
+        tisr = np.asarray(f["tisr"]) / 86400.0
+        lat = np.asarray(f["lat"])
+    w = np.cos(np.deg2rad(lat))
+    mean_irr = np.zeros(T)
+    for i in range(T):
+        zonal = tisr[i].mean(axis=1)              # (Y,)
+        mean_irr[i] = 4.0 * (zonal * w).sum() / w.sum()
+    mu_expect = (tisr / mean_irr[:, None, None]).reshape(-1)
+    np.testing.assert_allclose(atm.cos_zenith, mu_expect, rtol=1e-12)
+    tsi_expect = np.where(mu_expect > 0,
+                          tisr.reshape(-1) / np.maximum(mu_expect, 1e-6),
+                          0.0)
+    np.testing.assert_allclose(atm.total_solar_irradiance, tsi_expect,
+                               rtol=1e-12)
+    assert np.isfinite(atm.total_solar_irradiance).all()
+
+
+def test_derive_zenith_global_mean_from_slab(era5_file, ghg_file):
+    """A lon-slab run must use the same GLOBAL planetary mean as the
+    full-domain run (era5.c reads weights/irradiance with start=0), so
+    slab mu values are a subset of the full-domain mu values."""
+    full = era5.load_atmosphere(era5_file, ghg_file, year=1,
+                                derive_zenith=True)
+    slab = era5.load_atmosphere(era5_file, ghg_file, year=1,
+                                x=slice(1, 3), derive_zenith=True)
+    mu_full = full.cos_zenith.reshape(T, Y, X)
+    np.testing.assert_allclose(slab.cos_zenith.reshape(T, Y, 2),
+                               mu_full[:, :, 1:3], rtol=1e-12)
 
 
 def test_spectral_output(era5_file, ghg_file, tmp_path):
@@ -123,13 +212,15 @@ def test_spectral_output(era5_file, ghg_file, tmp_path):
                       lon_global_size=X, lw_grid=lw_grid)
     with h5py.File(path, "r") as f:
         assert f["lw_wavenumber"].shape == (lw_grid.n,)
-        for name in ("rlut", "rlus", "rlds"):
+        for name in ("rlutcsaf", "rluscsaf", "rldscsaf"):
             assert f[name].shape == (T, Y, X, lw_grid.n), name
-        assert "rsut" not in f          # LW-only configuration
+        # LW-only configuration: SW variables defined, never written
+        # (the reference's fill-value behavior, era5.c:406-415).
+        assert np.all(np.asarray(f["rsutcsaf"]) == 0.0)
         from grtcode_tpu.utils.interp import trapezoid_uniform
         res_int = drv.run(atm, integrated=True)
         np.testing.assert_allclose(
-            trapezoid_uniform(np.asarray(f["rlut"]), lw_grid.dw, axis=-1)
-            .reshape(-1),
+            trapezoid_uniform(np.asarray(f["rlutcsaf"]), lw_grid.dw,
+                              axis=-1).reshape(-1),
             np.asarray(res_int.tiers["csaf"]["rlu"][:, 0]),
             rtol=2e-5, atol=1e-4)

@@ -136,8 +136,10 @@ def test_disort_sw_solver_option(atm):
     lw_grid = SpectralGrid(1.0, 3250.0, 10.0)
     sw_grid = SpectralGrid(1.0, 50000.0, 10.0)
     d2 = circ.build_driver(lw_grid=lw_grid, sw_grid=sw_grid, line_chunk=64)
-    dd = dc.replace(d2, sw_solver="disort", disort_streams=4,
-                    _step_cache={})
+    # replace() gets a fresh _step_cache automatically (init=False field)
+    # AND the memo key includes the solver config — either alone prevents
+    # serving a step compiled for the old configuration.
+    dd = dc.replace(d2, sw_solver="disort", disort_streams=4)
     res2 = d2.run(atm, integrated=True)
     resd = dd.run(atm, integrated=True)
     rsdt2 = float(res2.variable("RSDTCSAF")[0])

@@ -30,6 +30,10 @@ def rebin_spectral(data: np.ndarray, factor: int) -> np.ndarray:
     return trimmed.reshape(*trimmed.shape[:-1], n // factor, factor).mean(-1)
 
 
+_DIM_NAMES = ("time", "lat", "lon", "level", "layer",
+              "lw_wavenumber", "sw_wavenumber")
+
+
 def combine(segment_paths, out_path, rebin: int | None = None):
     segs = []
     for p in segment_paths:
@@ -39,20 +43,32 @@ def combine(segment_paths, out_path, rebin: int | None = None):
                 "lon_stop": int(f.attrs["lon_stop"]),
                 "lon_global_size": int(f.attrs["lon_global_size"]),
                 "vars": {k: np.asarray(f[k]) for k in f
-                         if k not in ("time", "lat", "lon", "level")},
+                         if k not in _DIM_NAMES},
+                # Writer stores each variable's dimension names in a
+                # "_dims" attribute; the lon axis position varies
+                # (axis 2 for flux variables, axis 3 for the
+                # (time, level, lat, lon) state profiles).
+                "dims": {k: [d.decode() for d in f[k].attrs["_dims"]]
+                         if "_dims" in f[k].attrs else None
+                         for k in f if k not in _DIM_NAMES},
             })
     nglobal = segs[0]["lon_global_size"]
     seen = np.zeros(nglobal, bool)
     with h5py.File(out_path, "w") as out:
         for name in segs[0]["vars"]:
             sample = segs[0]["vars"][name]
+            dims = segs[0]["dims"][name]
+            lon_axis = dims.index("lon") if dims is not None else 2
             shape = list(sample.shape)
-            shape[2] = nglobal
+            shape[lon_axis] = nglobal
             data = np.zeros(shape, sample.dtype)
             for s in segs:
-                data[:, :, s["lon_start"]:s["lon_stop"] + 1] = \
-                    s["vars"][name]
-            if rebin and data.ndim > 4:  # (time, lat, lon, level, wavenumber)
+                idx = [slice(None)] * data.ndim
+                idx[lon_axis] = slice(s["lon_start"], s["lon_stop"] + 1)
+                data[tuple(idx)] = s["vars"][name]
+            spectral_last = (dims[-1].endswith("wavenumber")
+                             if dims is not None else data.ndim > 4)
+            if rebin and spectral_last:
                 data = rebin_spectral(data, rebin)
             out.create_dataset(name, data=data)
         for s in segs:

@@ -147,9 +147,32 @@ def test_packaged_tips_tables_pin_reference_values():
     beta_low = (np.log(tips.q(2, 200.0, 1) / tips.q(2, 160.0, 1))
                 / np.log(200.0 / 160.0))
     assert beta_eff - beta_low > 0.2     # CO2 bend modes activate
-    # Molecules beyond the tabulated set route to the power-law fallback.
-    assert float(tips.q(9, 2 * constants.TREF)) == \
-        pytest.approx(2.0 ** 1.5)
+
+
+def test_packaged_tips_tables_cover_every_registry_isotopologue():
+    """The reference contract is a full per-isotopologue table lookup for
+    all 53 HITRAN species (tips2017.h:29-37, molecules.h:31-104): every
+    (molecule, iso) pair in the registry must resolve through the
+    tabulated path — no molecule in any pipeline silently hits the
+    power-law fallback or the principal-iso substitution."""
+    from grtcode_tpu.gas_optics import molecules as mol_registry
+
+    tips = tips_mod.default_tips()
+    assert isinstance(tips, tips_mod.TabulatedTips)
+    for mol in mol_registry.REGISTRY.values():
+        assert tips.has_molecule(int(mol.id)), mol.name
+        for iso in range(1, max(mol.num_isotopologues, 1) + 1):
+            assert tips.has(int(mol.id), iso), (mol.name, iso)
+    # Spot-check physical plausibility outside the big-8 set: partition
+    # sums grow with T and Q(296) is the molparam-scale value.
+    for mol_id, q296 in {9: 6340.30, 11: 1725.22, 12: 214000.0,
+                         19: 1221.01, 30: 1620000.0}.items():
+        assert tips.q296(mol_id, 1) == pytest.approx(q296, rel=1e-3)
+        assert float(tips.q(mol_id, 320.0, 1)) > float(
+            tips.q(mol_id, 250.0, 1))
+    # An atom (O, id 34): no rotational/vibrational T-dependence.
+    assert float(tips.q(34, 150.0, 1)) == pytest.approx(
+        float(tips.q(34, 400.0, 1)), rel=1e-12)
 
 
 def test_tabulated_tips(tmp_path):

@@ -262,15 +262,6 @@ class RadiationDriver:
         sol_full = (self.solar.incident_flux if self.solar is not None
                     else jnp.zeros((1,), jnp.float32))
         S = 1 if mesh is None else mesh.shape[SPECTRAL_AXIS]
-        if mesh is not None and not integrated and S > 1:
-            # A columns-only mesh (S == 1) IS supported for spectral
-            # output — the reference's production layout (columns
-            # sharded across ranks, full spectrum per rank,
-            # run-rfmip-irf.sh:102-125).
-            raise NotImplementedError(
-                "spectrally-resolved output with spectral sharding: use "
-                "a (columns, 1) mesh, or gather integrated=True "
-                "per-shard blocks instead")
 
         def _block(n, tile):
             """ceil(n / S) rounded up to the gas-optics tile (tiled
@@ -461,7 +452,20 @@ class RadiationDriver:
             s = jax.lax.axis_index(SPECTRAL_AXIS)
             tiers = core(col, cloud_args, s * block_lw,
                          s * (block_sw if block_sw is not None else 0))
-            return jax.lax.psum(tiers, SPECTRAL_AXIS)
+            if integrated:
+                # Exact per-block trapezoid weights were applied inside
+                # core; the band integral is the sum over shards.
+                return jax.lax.psum(tiers, SPECTRAL_AXIS)
+            # Spectrally-resolved output: each shard holds one contiguous
+            # block [s*block, (s+1)*block) of the band (tail shard
+            # tile-padded), so a tiled all_gather along the wavenumber
+            # axis reassembles the full spectrum on every shard; run()
+            # trims the tail padding.  The reference always writes full
+            # spectra whatever its rank layout (rfmip-irf.c:574-650).
+            return jax.tree.map(
+                lambda a: jax.lax.all_gather(
+                    a, SPECTRAL_AXIS, axis=a.ndim - 1, tiled=True),
+                tiers)
 
         def run(col, cloud_args):
             # Pad (B, nw) per-column spectra to S x block so they shard

@@ -158,13 +158,15 @@ def test_three_tier_driver_sharded_matches_single():
                 err_msg=f"{tier}/{var}")
 
 
-def test_spectral_output_columns_only_mesh():
-    """Spectrally-resolved output works on a columns-only mesh — the
-    reference's actual production layout (columns sharded across SLURM
-    ranks, full spectrum per rank, run-rfmip-irf.sh:102-125) — and
-    matches the unsharded spectral result; spectral sharding still
-    raises."""
-    import pytest
+@pytest.mark.parametrize("shape", [(8, 1), (2, 4)],
+                         ids=["columns-only", "columns-x-spectral"])
+def test_spectral_output_sharded_matches_single(shape):
+    """Spectrally-resolved output works on ANY mesh: the columns-only
+    production layout (columns sharded across SLURM ranks, full spectrum
+    per rank, run-rfmip-irf.sh:102-125) AND a (columns x spectral) mesh,
+    where each shard computes its contiguous wavenumber block and a
+    tiled all_gather reassembles the band (the reference always writes
+    full spectra whatever its rank layout, rfmip-irf.c:574-650)."""
     from grtcode_tpu.apps import circ
     from grtcode_tpu.spectral import SpectralGrid
 
@@ -173,7 +175,7 @@ def test_spectral_output_columns_only_mesh():
                             sw_grid=SpectralGrid(1.0, 50000.0, 10.0),
                             line_chunk=64)
     full = drv.run(atm, integrated=False)
-    sharded = drv.run(atm, integrated=False, mesh=make_mesh(8, 1))
+    sharded = drv.run(atm, integrated=False, mesh=make_mesh(*shape))
     for var in ("rlu", "rld", "rsu", "rsd"):
         ref = np.asarray(full.tiers["csaf"][var])
         got = np.asarray(sharded.tiers["csaf"][var])
@@ -181,5 +183,30 @@ def test_spectral_output_columns_only_mesh():
         scale = np.abs(ref).max() + 1e-6
         np.testing.assert_allclose(got / scale, ref / scale, atol=2e-5,
                                    err_msg=var)
-    with pytest.raises(NotImplementedError):
-        drv.run(atm, integrated=False, mesh=make_mesh(2, 4))
+
+
+def test_spectral_output_sharded_rfmip_writer(tmp_path):
+    """rfmip spectral writing under a (2, 4) mesh: the gathered spectra
+    land in the same lw_wavenumber/sw_wavenumber file layout as the
+    unsharded run (rfmip-irf.c:574-650)."""
+    import h5py
+    from grtcode_tpu.apps import circ, rfmip
+    from grtcode_tpu.spectral import SpectralGrid
+
+    atm = _tile_atmosphere(circ.case1_atmosphere(), 8)
+    lw_grid = SpectralGrid(1.0, 3250.0, 8.0)
+    sw_grid = SpectralGrid(1.0, 50000.0, 10.0)
+    drv = circ.build_driver(lw_grid=lw_grid, sw_grid=sw_grid,
+                            line_chunk=64)
+    res = drv.run(atm, integrated=False, mesh=make_mesh(2, 4))
+    full = drv.run(atm, integrated=False)
+    path = str(tmp_path / "spectral_sharded.nc")
+    rfmip.write_fluxes(path, res, atm.level_pressure, user_level=5,
+                       lw_grid=lw_grid, sw_grid=sw_grid)
+    with h5py.File(path, "r") as f:
+        assert f["rlutcsaf"].shape == (8, lw_grid.n)
+        assert f["rsdtcsaf"].shape == (8, sw_grid.n)
+        np.testing.assert_allclose(
+            np.asarray(f["rlutcsaf"]),
+            np.asarray(full.tiers["csaf"]["rlu"][:, 0], np.float32),
+            rtol=2e-5, atol=1e-6)

@@ -93,6 +93,31 @@ class Atmosphere:
             t = self.level_temperature
             self.layer_temperature = 0.5 * (t[:, :-1] + t[:, 1:])
 
+    # Fields WITHOUT a leading batch axis (shared grids/flags).
+    _UNBATCHED = ("emissivity_grid", "albedo_grid", "clean", "clear")
+
+    def subset(self, idx) -> "Atmosphere":
+        """A new Atmosphere holding the columns selected by ``idx`` (any
+        numpy fancy index along the batch axis).  Scalar-broadcast fields
+        (e.g. a scalar Angstrom exponent) pass through unchanged."""
+        idx = np.asarray(idx)
+
+        def take(v):
+            if v is None:
+                return None
+            if isinstance(v, Mapping):
+                return {k: take(x) for k, x in v.items()}
+            a = np.asarray(v)
+            if a.ndim == 0 or a.shape[0] != self.batch:
+                return v
+            return a[idx]
+
+        kw = {}
+        for f in dataclasses.fields(self):
+            v = getattr(self, f.name)
+            kw[f.name] = v if f.name in self._UNBATCHED else take(v)
+        return Atmosphere(**kw)
+
     @property
     def batch(self) -> int:
         return self.level_pressure.shape[0]

@@ -126,7 +126,7 @@ class RadiationDriver:
         return emis, albedo
 
     def run(self, atm: Atmosphere, integrated: bool = True,
-            mesh=None) -> FluxResults:
+            mesh=None, column_chunk: int | None = None) -> FluxResults:
         """Compute all applicable sky tiers for the batch.
 
         With ``mesh`` (a (columns x spectral) jax Mesh, parallel.make_mesh),
@@ -134,7 +134,32 @@ class RadiationDriver:
         grid splits into contiguous blocks over "spectral"; integrated
         fluxes reduce with psum using exact per-block trapezoid weights.
         All three sky tiers run under the same sharded step.
+
+        ``column_chunk`` bounds device memory for ERA5-scale batches (the
+        channel stack is ~10 x lines x rows x 4 B of HBM): the batch is
+        processed in chunks of that many columns through ONE memoized
+        jitted step (the tail chunk pads by repeating its first column,
+        so no extra compile), and results concatenate on the host —
+        the TPU equivalent of the reference looping columns serially
+        (driver.c:680-713) with a device-sized stride.
         """
+        if column_chunk is not None and atm.batch > column_chunk:
+            parts = []
+            for lo in range(0, atm.batch, column_chunk):
+                idx = np.arange(lo, min(lo + column_chunk, atm.batch))
+                n_pad = column_chunk - idx.size
+                if n_pad:
+                    idx = np.concatenate([idx, np.repeat(idx[:1], n_pad)])
+                r = self.run(atm.subset(idx), integrated=integrated,
+                             mesh=mesh)
+                parts.append((r, column_chunk - n_pad))
+            tiers = {
+                t: {k: np.concatenate(
+                    [np.asarray(r.tiers[t][k])[:keep]
+                     for r, keep in parts])
+                    for k in parts[0][0].tiers[t]}
+                for t in parts[0][0].tiers}
+            return FluxResults(tiers=tiers, integrated=integrated)
         emis_np, albedo_np = self._surface_spectra(atm)
         f32 = jnp.float32
 
@@ -201,19 +226,65 @@ class RadiationDriver:
                 "t_lay": jnp.asarray(atm.layer_temperature, f32),
             }
 
-        # Batch-level night skip (the reference skips the SW pass per
-        # column iff cos(zenith) <= 0, driver.c:706-713): when NO column
-        # in the batch is lit, dispatch the LW-only step so the entire SW
-        # gas-optics + solver pipeline is never computed.  rsu/rsd come
-        # back as integrated zeros, which is exactly the day-mask result.
+        # Night handling (the reference skips the SW pass per column iff
+        # cos(zenith) <= 0, driver.c:706-713).  Three regimes:
+        #   * no lit column -> dispatch the LW-only step (SW pipeline
+        #     never computed; rsu/rsd are integrated zeros);
+        #   * a mixed batch (unsharded, integrated) -> DAY COMPACTION:
+        #     gather lit columns into one bucket-padded sub-batch that
+        #     runs LW+SW, the night columns into another that runs
+        #     LW-only, and scatter both back — the SW gas optics + solver
+        #     cost scales with the lit fraction instead of the batch
+        #     (for ERA5, half the globe is night -> ~2x SW-phase saving);
+        #   * otherwise -> full batch with the post-hoc day mask.
+        # Bucketing pads each sub-batch up to a power of two so the jit
+        # step compiles per bucket size, not per lit count.
         with_sw = self.sw_gas is not None
+        lit = night = None
         if with_sw and integrated:
             mu_host = atm.cos_zenith
             if mu_host is None or not np.any(np.asarray(mu_host) > 0.0):
                 with_sw = False
+            elif mesh is None:
+                mu_np = np.asarray(mu_host)
+                lit = np.flatnonzero(mu_np > 0.0)
+                night = np.flatnonzero(~(mu_np > 0.0))
+                if not (0 < lit.size < atm.batch):
+                    lit = night = None
 
-        out = self._step(atm.clean, atm.clear, integrated, mesh,
-                         with_sw=with_sw)(dev, cloud_args)
+        if lit is not None:
+            def bucket_pad(idx):
+                b = 1
+                while b < idx.size:
+                    b *= 2
+                b = min(b, atm.batch)
+                return np.concatenate(
+                    [idx, np.repeat(idx[:1], b - idx.size)])
+
+            def gather(tree, idx):
+                i = jnp.asarray(idx)
+                return jax.tree.map(lambda a: a[i], tree)
+
+            lit_p, night_p = bucket_pad(lit), bucket_pad(night)
+            out_lit = self._step(atm.clean, atm.clear, True, None,
+                                 with_sw=True)(
+                gather(dev, lit_p), gather(cloud_args, lit_p))
+            out_night = self._step(atm.clean, atm.clear, True, None,
+                                   with_sw=False)(
+                gather(dev, night_p), gather(cloud_args, night_p))
+
+            def scatter(a_lit, a_night):
+                full = np.zeros((atm.batch,) + a_lit.shape[1:],
+                                a_lit.dtype)
+                full[lit] = np.asarray(a_lit)[:lit.size]
+                full[night] = np.asarray(a_night)[:night.size]
+                return full
+
+            out = jax.tree.map(scatter, jax.tree.map(np.asarray, out_lit),
+                               jax.tree.map(np.asarray, out_night))
+        else:
+            out = self._step(atm.clean, atm.clear, integrated, mesh,
+                             with_sw=with_sw)(dev, cloud_args)
         if not integrated and mesh is not None:
             # Sharded spectral blocks are tile-padded; trim each band
             # back to its grid length.

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
+import os
 from typing import Mapping
 
 import jax
@@ -66,6 +67,15 @@ class GasOptics:
     tile_lchunk: int = 128     # lines per jnp tiled reduction step
     pallas: str = "auto"       # "auto" | "on" | "off" | "interpret"
     pallas_ch: int = 32        # lines per Pallas DMA chunk
+    # Far-wing kernel data layout: "lines" = lines on sublanes, rows on
+    # lanes, points sequential (default — measured fastest on v5e);
+    # "points" = points on sublanes, rows on lanes, lines sequential (the
+    # transposed experiment: ~70x fewer VMEM loads but a per-line
+    # broadcast tax; measured ~8% slower on the production bench, kept
+    # for A/B).  Overridable via $GRTCODE_TPU_FAR_LAYOUT.
+    pallas_layout: str = dataclasses.field(
+        default_factory=lambda: os.environ.get(
+            "GRTCODE_TPU_FAR_LAYOUT", "lines"))
     molecules: dict = dataclasses.field(default_factory=dict)  # id -> GridLines
     tiles: dict = dataclasses.field(default_factory=dict)      # id -> LineTiles
     near_steps: dict = dataclasses.field(default_factory=dict)  # id -> int
@@ -282,7 +292,8 @@ class GasOptics:
                         hw=self.near_hw[mol_id], tile=self.tile,
                         ch=self.pallas_ch,
                         num_global=self.grid.n, tau0=tau, start=start,
-                        interpret=self.pallas == "interpret")
+                        interpret=self.pallas == "interpret",
+                        far_layout=self.pallas_layout)
                 else:
                     tiles = self.tiles[mol_id]
                     tau = accumulate_tiled(

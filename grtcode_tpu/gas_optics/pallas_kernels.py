@@ -237,7 +237,7 @@ def _voigt_kernel(lo_ref, nchunks_ref, cnl_ref, cnh_ref, m0l_ref, m0h_ref,
                   out_ref, buf, sems, *, tile: int, ch: int, fsteps: int,
                   near: int, hw: int, rblock: int, include_near: bool,
                   num_global: int, punroll: int = PUNROLL,
-                  newton: int = 2):
+                  newton: int = 2, far_layout: str = "lines"):
     t = pl.program_id(0)
     rb = pl.program_id(1)
     lo = lo_ref[t]
@@ -279,97 +279,190 @@ def _voigt_kernel(lo_ref, nchunks_ref, cnl_ref, cnh_ref, m0l_ref, m0h_ref,
 
         get_dma(slot, c).wait()
 
-        c0 = buf[slot, CH_C0]                  # (ch, rblock)
-        ftot = buf[slot, CH_FTOT]
-        rw = buf[slot, CH_RW]
-        snum0 = buf[slot, CH_SNUM0]
-        yq = buf[slot, CH_YQ]
-        xlim0 = buf[slot, CH_XLIM0]
-        a0 = buf[slot, CH_A0]
-        d0 = buf[slot, CH_D0]
-        d2 = buf[slot, CH_D2]
-
-        # Per-row rounded center (kernels.c line_sample fcenterid) — the
-        # pressure shift can round differently per row.
-        adj = jnp.floor(ftot + 0.5)
-        cidx = c0 + adj
-        frac = ftot - adj
-
-        # --- Far wings, three host-classified zones (see module doc). ---
-        # Points are processed PUNROLL at a time so the channel reads
-        # from VMEM amortize over PUNROLL x the compute.  The zone split
-        # is bit-exact: interior/edge chunks compute exactly the value
-        # the full select would have picked (region 0 / pure-Lorentz
-        # share num = snum0, den = xq + yq by channel construction).
-        h = ch // 2
-
-        def far_loop(mode):
-            def point_body(jj, _):
-                j4 = jj * punroll
-                for k in range(punroll):
-                    j = j4 + k
-                    delta = (g0 + j.astype(jnp.float32)) - cidx
-                    xi = (delta - frac) * rw
-                    xq = xi * xi
-                    if mode == "core":
-                        adelta = jnp.abs(delta)
-                        m = (adelta <= fs) & (adelta > nr)
-                        reg0 = xq >= xlim0
-                        num = jnp.where(reg0, snum0, snum0 * (a0 + xq))
-                        den = jnp.where(reg0, xq + yq,
-                                        d0 + xq * (d2 + xq))
-                    else:
-                        num = snum0
-                        den = xq + yq
-                        if mode == "edge":
-                            m = jnp.abs(delta) <= fs
-                    if mode != "interior":
-                        # Mask num -> 0 AND den -> 1: an invalid line's
-                        # den can reach ~1e23 (xi ~ 1e9 * rw), whose
-                        # pairwise product overflows to inf and poisons
-                        # bign with 0 * inf = NaN.  Interior chunks are
-                        # all-valid with den <= ~1e10 by construction.
-                        num = jnp.where(m, num, 0.0)
-                        den = jnp.where(m, den, 1.0)
-                    # Pairwise rational combine: one reciprocal serves
-                    # two lines (n1/d1 + n2/d2 = (n1 d2 + n2 d1)/(d1 d2)).
-                    # Every term is non-negative (no cancellation) and
-                    # d1*d2 <= ~1e21 stays in f32 range; errors are a few
-                    # ulps, inside the kernel's 2e-6 parity budget.
-                    bign = num[:h] * den[h:] + num[h:] * den[:h]
-                    bigd = den[:h] * den[h:]
-                    # Fast reciprocal + Newton steps: ~1 ulp of a true
-                    # divide at a fraction of the VPU cost.
-                    r = pl.reciprocal(bigd, approx=True)
-                    for _ in range(newton):
-                        r = r * (2.0 - bigd * r)
-                    contrib = bign * r
-                    row = jnp.sum(contrib, axis=0,
-                                  keepdims=True)           # (1, rblock)
-                    out_ref[pl.ds(j, 1), :] += row
-                return 0
-            return point_body
-
         is_core = (c >= m0l) & (c < m0h)
         is_interior = ((c >= fll) & (c < flh)) | ((c >= frl) & (c < frh))
 
-        @pl.when(is_core)
-        def _():
-            jax.lax.fori_loop(0, tile // punroll, far_loop("core"), 0)
+        if far_layout == "lines":
+            c0 = buf[slot, CH_C0]                  # (ch, rblock)
+            ftot = buf[slot, CH_FTOT]
+            rw = buf[slot, CH_RW]
+            snum0 = buf[slot, CH_SNUM0]
+            yq = buf[slot, CH_YQ]
+            xlim0 = buf[slot, CH_XLIM0]
+            a0 = buf[slot, CH_A0]
+            d0 = buf[slot, CH_D0]
+            d2 = buf[slot, CH_D2]
 
-        @pl.when(jnp.logical_not(is_core) & is_interior)
-        def _():
-            jax.lax.fori_loop(0, tile // punroll, far_loop("interior"), 0)
+            # Per-row rounded center (kernels.c line_sample fcenterid) —
+            # the pressure shift can round differently per row.
+            adj = jnp.floor(ftot + 0.5)
+            cidx = c0 + adj
+            frac = ftot - adj
 
-        @pl.when(jnp.logical_not(is_core) & jnp.logical_not(is_interior))
-        def _():
-            jax.lax.fori_loop(0, tile // punroll, far_loop("edge"), 0)
+            # --- Far wings, three host-classified zones (module doc). ---
+            # Points are processed PUNROLL at a time so the channel reads
+            # from VMEM amortize over PUNROLL x the compute.  The zone
+            # split is bit-exact: interior/edge chunks compute exactly the
+            # value the full select would have picked (region 0 /
+            # pure-Lorentz share num = snum0, den = xq + yq by channel
+            # construction).
+            h = ch // 2
+
+            def far_loop(mode):
+                def point_body(jj, _):
+                    j4 = jj * punroll
+                    for k in range(punroll):
+                        j = j4 + k
+                        delta = (g0 + j.astype(jnp.float32)) - cidx
+                        xi = (delta - frac) * rw
+                        xq = xi * xi
+                        if mode == "core":
+                            adelta = jnp.abs(delta)
+                            m = (adelta <= fs) & (adelta > nr)
+                            reg0 = xq >= xlim0
+                            num = jnp.where(reg0, snum0, snum0 * (a0 + xq))
+                            den = jnp.where(reg0, xq + yq,
+                                            d0 + xq * (d2 + xq))
+                        else:
+                            num = snum0
+                            den = xq + yq
+                            if mode == "edge":
+                                m = jnp.abs(delta) <= fs
+                        if mode != "interior":
+                            # Mask num -> 0 AND den -> 1: an invalid
+                            # line's den can reach ~1e23 (xi ~ 1e9 * rw),
+                            # whose pairwise product overflows to inf and
+                            # poisons bign with 0 * inf = NaN.  Interior
+                            # chunks are all-valid with den <= ~1e10 by
+                            # construction.
+                            num = jnp.where(m, num, 0.0)
+                            den = jnp.where(m, den, 1.0)
+                        # Pairwise rational combine: one reciprocal serves
+                        # two lines (n1/d1 + n2/d2 =
+                        # (n1 d2 + n2 d1)/(d1 d2)).  Every term is
+                        # non-negative (no cancellation) and d1*d2 <=
+                        # ~1e21 stays in f32 range; errors are a few
+                        # ulps, inside the kernel's 2e-6 parity budget.
+                        bign = num[:h] * den[h:] + num[h:] * den[:h]
+                        bigd = den[:h] * den[h:]
+                        # Fast reciprocal + Newton steps: ~1 ulp of a true
+                        # divide at a fraction of the VPU cost.
+                        r = pl.reciprocal(bigd, approx=True)
+                        for _ in range(newton):
+                            r = r * (2.0 - bigd * r)
+                        contrib = bign * r
+                        row = jnp.sum(contrib, axis=0,
+                                      keepdims=True)       # (1, rblock)
+                        out_ref[pl.ds(j, 1), :] += row
+                    return 0
+                return point_body
+
+            @pl.when(is_core)
+            def _():
+                jax.lax.fori_loop(0, tile // punroll, far_loop("core"), 0)
+
+            @pl.when(jnp.logical_not(is_core) & is_interior)
+            def _():
+                jax.lax.fori_loop(0, tile // punroll, far_loop("interior"),
+                                  0)
+
+            @pl.when(jnp.logical_not(is_core) & jnp.logical_not(is_interior))
+            def _():
+                jax.lax.fori_loop(0, tile // punroll, far_loop("edge"), 0)
+        else:
+            # --- Transposed far wings: points on SUBLANES, rows on
+            # LANES, lines SEQUENTIAL (static pairwise unroll).  Each
+            # line's channel values are ONE (1, rblock) VMEM load
+            # broadcast over the whole (tile, rblock) block, so the
+            # per-(point, line) channel re-reads of the "lines" layout
+            # (~9 (ch, rblock) loads per point per chunk — the measured
+            # issue/load bottleneck) collapse to ~5 loads per LINE per
+            # chunk; virtually every issue slot is arithmetic.  The
+            # accumulator lives in vector registers across the line
+            # unroll and hits out_ref once per chunk.
+            # Full-shape point positions hoisted once per chunk: every
+            # per-line op then has at most ONE broadcasting operand.
+            pos = g0 + jax.lax.broadcasted_iota(
+                jnp.int32, (tile, rblock), 0).astype(jnp.float32)
+
+            def ld(chan, l):
+                return buf[slot, chan, l:l + 1, :]        # (1, rblock)
+
+            def far_tr(mode):
+                acc = jnp.zeros((tile, rblock), jnp.float32)
+                for l0 in range(0, ch, 2):
+                    nd = []
+                    for l in (l0, l0 + 1):
+                        ftot = ld(CH_FTOT, l)
+                        c0l = ld(CH_C0, l)
+                        # pos and c0 are exact f32 integers: subtracting
+                        # them FIRST keeps xi at full precision (adding
+                        # ftot to a ~1e4-scale c0 would round the
+                        # fractional center at ~2e-3 grid points).
+                        dint = pos - c0l                  # (tile, rblock)
+                        xi = (dint - ftot) * ld(CH_RW, l)
+                        xq = xi * xi
+                        snum0 = ld(CH_SNUM0, l)
+                        yq = ld(CH_YQ, l)
+                        if mode == "core":
+                            adelta = jnp.abs(dint - jnp.floor(ftot + 0.5))
+                            m = (adelta <= fs) & (adelta > nr)
+                            reg0 = xq >= ld(CH_XLIM0, l)
+                            num = jnp.where(
+                                reg0, snum0,
+                                snum0 * (ld(CH_A0, l) + xq))
+                            den = jnp.where(
+                                reg0, xq + yq,
+                                ld(CH_D0, l) + xq * (ld(CH_D2, l) + xq))
+                        else:
+                            num = snum0            # (1, rblock), implicit
+                            den = xq + yq
+                            if mode == "edge":
+                                m = jnp.abs(
+                                    dint - jnp.floor(ftot + 0.5)) <= fs
+                        if mode != "interior":
+                            # Same masking rationale as the "lines"
+                            # layout: den -> 1 keeps the pairwise
+                            # product finite for invalid lines.
+                            num = jnp.where(m, num, 0.0)
+                            den = jnp.where(m, den, 1.0)
+                        nd.append((num, den))
+                    (n1, d1), (n2, d2_) = nd
+                    bign = n1 * d2_ + n2 * d1
+                    bigd = d1 * d2_
+                    r = pl.reciprocal(bigd, approx=True)
+                    for _ in range(newton):
+                        r = r * (2.0 - bigd * r)
+                    acc = acc + bign * r
+                out_ref[:] += acc
+
+            @pl.when(is_core)
+            def _():
+                far_tr("core")
+
+            @pl.when(jnp.logical_not(is_core) & is_interior)
+            def _():
+                far_tr("interior")
+
+            @pl.when(jnp.logical_not(is_core) & jnp.logical_not(is_interior))
+            def _():
+                far_tr("edge")
 
         # --- Near core: full Humlicek at 2*hw+1 offsets around c0, placed
         # with a one-hot MXU matmul (only chunks with centers in-tile). --
         if include_near:
             @pl.when((c >= cnl) & (c < cnh))
             def _():
+                c0 = buf[slot, CH_C0]              # (ch, rblock)
+                ftot = buf[slot, CH_FTOT]
+                rw = buf[slot, CH_RW]
+                snum0 = buf[slot, CH_SNUM0]
+                yq = buf[slot, CH_YQ]
+                xlim0 = buf[slot, CH_XLIM0]
+                a0 = buf[slot, CH_A0]
+                d0 = buf[slot, CH_D0]
+                d2 = buf[slot, CH_D2]
+                adj = jnp.floor(ftot + 0.5)
                 y = buf[slot, CH_Y]
                 lor = xlim0 < 0.0
                 # snum0 = s*RSQRPI^2*repwid*y for non-Lorentz lines, so the
@@ -444,14 +537,14 @@ def _voigt_kernel(lo_ref, nchunks_ref, cnl_ref, cnh_ref, m0l_ref, m0h_ref,
     jax.jit,
     static_argnames=("tile", "ch", "fsteps", "near", "hw", "ntiles_block",
                      "rpad", "rblock", "include_near", "num_global",
-                     "punroll", "newton", "interpret"))
+                     "punroll", "newton", "interpret", "far_layout"))
 def voigt_pallas(channels, lo, nchunks, cnl, cnh, m0l, m0h, fll, flh, frl,
                  frh, start, *, tile: int,
                  ch: int, fsteps: int, near: int, hw: int,
                  ntiles_block: int, rpad: int, num_global: int,
                  rblock: int | None = None, include_near: bool = True,
                  punroll: int = PUNROLL, newton: int = 2,
-                 interpret: bool = False):
+                 interpret: bool = False, far_layout: str = "lines"):
     """Run the fused Voigt kernel over ``ntiles_block`` spectral tiles.
 
     Args:
@@ -477,17 +570,24 @@ def voigt_pallas(channels, lo, nchunks, cnl, cnh, m0l, m0h, fll, flh, frl,
     # (double-buffered channel stack + output block + point-loop
     # temporaries) stays under the ~16 MB/core budget with headroom.
     if rblock is None:
-        per_lane = 4 * (2 * NCH * ch        # double-buffered DMA stack
-                        + 3 * tile          # out block + near acc + slack
-                        + 4 * punroll * ch)  # live point-loop temporaries
-        rb_cap = max((10_000_000 // per_lane) // LANE * LANE, LANE)
-        best, best_cost = LANE, None
-        for rb in range(LANE, min(rpad, rb_cap, 1024) + 1, LANE):
-            cost = -(-rpad // rb) * rb
-            if best_cost is None or cost < best_cost or \
-                    (cost == best_cost and rb > best):
-                best, best_cost = rb, cost
-        rblock = best
+        if far_layout == "points":
+            # Transposed layout: the line unroll carries a
+            # (tile, rblock) register accumulator; one lane-tile keeps
+            # it (and the pairwise temporaries) register-resident.
+            # rpad is LANE-aligned so rblock = LANE never pads lanes.
+            rblock = LANE
+        else:
+            per_lane = 4 * (2 * NCH * ch    # double-buffered DMA stack
+                            + 3 * tile      # out block + near acc + slack
+                            + 4 * punroll * ch)  # live point temporaries
+            rb_cap = max((10_000_000 // per_lane) // LANE * LANE, LANE)
+            best, best_cost = LANE, None
+            for rb in range(LANE, min(rpad, rb_cap, 1024) + 1, LANE):
+                cost = -(-rpad // rb) * rb
+                if best_cost is None or cost < best_cost or \
+                        (cost == best_cost and rb > best):
+                    best, best_cost = rb, cost
+            rblock = best
     nrb = -(-rpad // rblock)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=11,
@@ -504,7 +604,7 @@ def voigt_pallas(channels, lo, nchunks, cnl, cnh, m0l, m0h, fll, flh, frl,
                                fsteps=fsteps, near=near, hw=hw,
                                rblock=rblock, include_near=include_near,
                                num_global=num_global, punroll=punroll,
-                               newton=newton)
+                               newton=newton, far_layout=far_layout)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -632,7 +732,8 @@ def accumulate_voigt_pallas(prep, c0, ns, ranges: ChunkRanges, *,
                             tau0=None, start=0, include_near: bool = True,
                             punroll: int = PUNROLL, newton: int = 2,
                             rblock: int | None = None,
-                            interpret: bool = False):
+                            interpret: bool = False,
+                            far_layout: str = "lines"):
     """Fused near+far Voigt accumulation via the Pallas kernel.
 
     Semantically equal to ``accumulate_tiled(..., exclude_within=near,
@@ -685,7 +786,7 @@ def accumulate_voigt_pallas(prep, c0, ns, ranges: ChunkRanges, *,
                          ntiles_block=ntiles_block, rpad=rpad,
                          num_global=num_global, include_near=include_near,
                          punroll=punroll, newton=newton, rblock=rblock,
-                         interpret=interpret)
+                         interpret=interpret, far_layout=far_layout)
     tau = tau_t[:num_wpoints, :rows].T
     return tau if tau0 is None else tau0 + tau
 

@@ -47,7 +47,7 @@ def _load_golden():
             line = line.strip()
             if line.startswith("nlev"):
                 nlev = int(line.split()[1])
-            elif line in ("rlu", "rld", "rsu", "rsd"):
+            elif line.startswith("r"):        # rlu / rld_cs / rsu_af / ...
                 cur = line
                 vals[cur] = []
             else:
@@ -81,10 +81,81 @@ def results(tmp_path_factory):
                     os.path.join(d, "cia_o2n2.csv"))
         return gas
 
+    # Fixed-condensate cloud optics: the SAME deterministic (ql, qi)
+    # profile the harness injects in place of the reference's rand()
+    # sampling (clouds_lib.c:105-106 bypass), evaluated through this
+    # framework's Pade + band->grid chain.
+    import jax.numpy as jnp
+
+    from grtcode_tpu.clouds.lib import band_to_grid, ice_particle_size
+    from grtcode_tpu.clouds.pade import PadeCloudOptics
+    from grtcode_tpu.optics import Optics
+
+    pade = driver_inputs.pade_tables()
+    cld = driver_inputs.clouds()
+    aero = driver_inputs.aerosol()
+
+    def table(tb):
+        return PadeCloudOptics.from_arrays(
+            tb["band_lims"], tb["sizereg"], tb["sizeref"],
+            tb["ext_p"], tb["ext_q"], tb["ssa_p"], tb["ssa_q"],
+            tb["asy_p"], tb["asy_q"])
+
+    liq_tb, ice_tb = table(pade["liquid"]), table(pade["ice"])
+    t_lay = 0.5 * (atm_data["t"][:-1] + atm_data["t"][1:])
+    ql = jnp.asarray(cld["ql"], jnp.float32)
+    qi = jnp.asarray(cld["qi"], jnp.float32)
+    thick = jnp.asarray(cld["thickness"], jnp.float32)
+    rice = ice_particle_size(t_lay) / 2.0
+    rliq = jnp.full_like(rice, 10.0)            # driver.c:512
+    le, ls, lg = liq_tb.evaluate(ql, rliq)      # (nlay, nbnd)
+    ie, isa, ig = ice_tb.evaluate(qi, rice)
+
+    def ref_gap_keep(tb, grid):
+        """(nw,) 0/1 mask reproducing the reference's map_band_wave
+        off-by-one: its upper_bound (optics_utils.c:78-88) returns the
+        LAST index <= target instead of the first > target, so the one
+        grid point whose pseudo-band left edge (driver.c:476-492) is the
+        last below each interior band boundary gets NO cloud optics.
+        band_to_grid has no such gap (documented deviation, PARITY.md);
+        the golden comparison replays it to match the oracle exactly."""
+        centers = grid.w0 + np.arange(grid.n) * grid.dw
+        ledge = np.empty(grid.n)
+        ledge[1:] = centers[1:] - 0.5 * grid.dw
+        ledge[0] = max(centers[0] - grid.dw, 0.0)
+        keep = np.ones(grid.n, np.float32)
+        for e in np.asarray(tb["band_lims"][0][1:], np.float64):
+            j = int(np.searchsorted(ledge, e, side="right")) - 1
+            if 0 <= j < grid.n and ledge[j] < e:
+                keep[j] = 0.0
+        return jnp.asarray(keep)
+
+    gaps = {(ph, gname): ref_gap_keep(pade[ph], g)
+            for ph in ("liquid", "ice")
+            for gname, g in (("lw", lw_grid), ("sw", sw_grid))}
+
+    def fixed_cloud_optics(cloud_args, key, w_lw, w_sw):
+        def mk(e, s, g, tb, w, keep):
+            return Optics(
+                tau=(band_to_grid(e, tb.band_lims, w) * keep
+                     * thick[:, None])[None],
+                omega=(band_to_grid(s, tb.band_lims, w) * keep)[None],
+                g=(band_to_grid(g, tb.band_lims, w) * keep)[None])
+
+        liq_lw = mk(le, ls, lg, liq_tb, w_lw, gaps[("liquid", "lw")])
+        ice_lw = mk(ie, isa, ig, ice_tb, w_lw, gaps[("ice", "lw")])
+        if w_sw is None:
+            return liq_lw, ice_lw, None, None
+        return (liq_lw, ice_lw,
+                mk(le, ls, lg, liq_tb, w_sw, gaps[("liquid", "sw")]),
+                mk(ie, isa, ig, ice_tb, w_sw, gaps[("ice", "sw")]))
+
     driver = RadiationDriver(
         lw_gas=make_gas(lw_grid), sw_gas=make_gas(sw_grid),
-        solar=SolarFlux.from_csv(os.path.join(d, "solar.csv"), sw_grid))
+        solar=SolarFlux.from_csv(os.path.join(d, "solar.csv"), sw_grid),
+        cloud_optics=fixed_cloud_optics)
 
+    nlay = driver_inputs.NLEV - 1
     atm = Atmosphere(
         level_pressure=atm_data["p"][None],
         level_temperature=atm_data["t"][None],
@@ -97,22 +168,40 @@ def results(tmp_path_factory):
         cos_zenith=np.array([atm_data["mu"]]),
         total_solar_irradiance=np.array([atm_data["tsi"]]),
         albedo_grid=atm_data["alb_w"],
-        albedo=atm_data["alb"][None])
+        albedo=atm_data["alb"][None],
+        clean=False, clear=False,
+        aerosol_optical_depth_1um=aero["tau1um"][None],
+        aerosol_angstrom_exponent=aero["alpha"],
+        aerosol_single_scatter_albedo=aero["omega"][None],
+        aerosol_asymmetry_factor=aero["g"][None],
+        cloud_fraction=((cld["ql"] + cld["qi"]) > 0)
+        .astype(np.float64)[None],
+        liquid_water_content=cld["ql"][None],
+        ice_water_content=cld["qi"][None],
+        layer_thickness=cld["thickness"][None])
 
     return driver.run(atm, integrated=True)
 
 
-@pytest.mark.parametrize("var", ["rlu", "rld", "rsu", "rsd"])
-def test_driver_matches_reference_stack(results, var):
+# (tier suffix in the golden file, tier key) — "" = clear-clean CSAF,
+# "_cs" = aerosol tier, "_af" = cloud tier.
+_TIER_CASES = [(v + sfx, tier, v) for sfx, tier in
+               (("", "csaf"), ("_cs", "cs"), ("_af", "af"))
+               for v in ("rlu", "rld", "rsu", "rsd")]
+
+
+@pytest.mark.parametrize("label,tier,var", _TIER_CASES)
+def test_driver_matches_reference_stack(results, label, tier, var):
     nlev, golden = _load_golden()
-    ours = np.asarray(results.tiers["csaf"][var][0])
-    ref = golden[var]
+    ours = np.asarray(results.tiers[tier][var][0])
+    ref = golden[label]
     assert ours.shape == (nlev,)
     # Relative per level, with a floor so rld(TOA)=0 compares absolutely
     # against the variable's magnitude (check_results.c uses rel+abs).
     scale = np.maximum(np.abs(ref), 0.01 * np.abs(ref).max())
     rel = np.abs(ours - ref) / scale
-    assert rel.max() < TOLERANCE, (
-        f"{var}: worst level {int(rel.argmax())}: "
+    tol = TOLERANCE if tier == "csaf" else 1e-3
+    assert rel.max() < tol, (
+        f"{label}: worst level {int(rel.argmax())}: "
         f"ours={ours[rel.argmax()]:.6e} ref={ref[rel.argmax()]:.6e} "
         f"rel={rel.max():.2e}")

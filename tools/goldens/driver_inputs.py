@@ -75,6 +75,81 @@ def atmosphere():
                 alb_w=alb_w, alb=alb)
 
 
+def aerosol():
+    """Per-layer Angstrom-exponent aerosol state (the circ.c:363-410
+    ingest contract: tau at 1 um, grey ssa/g, one alpha)."""
+    nlay = NLEV - 1
+    s = (np.arange(nlay) + 0.5) / nlay
+    return dict(
+        tau1um=0.28 * np.exp(-0.5 * ((s - 0.85) / 0.13) ** 2),
+        omega=0.88 + 0.06 * np.sin(3.0 * s),
+        g=0.55 + 0.15 * s,
+        alpha=1.48,
+    )
+
+
+def clouds():
+    """Deterministic condensate profile injected IN PLACE of the
+    stochastic sample (clouds_lib.c:105-106 rand() bypass): a liquid
+    deck near the boundary layer and a thin cirrus layer."""
+    nlay = NLEV - 1
+    s = (np.arange(nlay) + 0.5) / nlay
+    ql = np.zeros(nlay)
+    qi = np.zeros(nlay)
+    ql[(s > 0.70) & (s < 0.85)] = 0.21          # [g m-3]
+    qi[(s > 0.25) & (s < 0.38)] = 0.014
+    thickness = 250.0 + 900.0 * (1.0 - s)       # [m]
+    return dict(ql=ql, qi=qi, thickness=thickness)
+
+
+def pade_tables():
+    """Synthetic RRTMGP-style Pade tables for liquid and ice, spanning
+    both solver bands.  Band edges sit at x.3 offsets so a grid-point
+    CENTER (this framework's band_to_grid) and its pseudo-band LEFT EDGE
+    (the reference's map_band_wave over driver.c:476-492 band_limits)
+    always classify into the same band on both the 0.1 and 1.0 cm-1
+    grids."""
+    out = {}
+    for phase, seed, nbnd in (("liquid", SEED + 4, 8), ("ice", SEED + 5, 9)):
+        rng = np.random.default_rng(seed)
+        edges = np.linspace(0.0, 20600.0, nbnd + 1) + 0.3
+        band_lims = np.stack([edges[:-1], edges[1:]])
+        if phase == "liquid":
+            sizereg = np.array([[2.5, 21.0, 60.0], [21.0, 60.0, 90.0]])
+            sizeref = np.array([9.0, 35.0, 70.0])
+        else:
+            sizereg = np.array([[5.0, 30.0, 70.0], [30.0, 70.0, 140.0]])
+            sizeref = np.array([15.0, 45.0, 95.0])
+        n = m = 3
+        nreg = sizeref.size
+
+        def coefs(lo, hi):
+            p = np.empty((nbnd, nreg, n))
+            q = np.empty((nbnd, nreg, m))
+            # Highest-order coefficient FIRST (pade_eval_1 Horner order,
+            # cloud_pade_optics.c:204-216).  Small high-order terms keep
+            # the rational value in [lo, hi] and the denominator safely
+            # positive over the whole radius-offset range (|re| <= 45).
+            p[..., 0] = rng.uniform(1e-7, 5e-7, (nbnd, nreg)) * lo
+            p[..., 1] = rng.uniform(1e-4, 4e-4, (nbnd, nreg)) * lo
+            p[..., 2] = rng.uniform(lo, hi, (nbnd, nreg))
+            q[..., 0] = rng.uniform(1e-7, 5e-7, (nbnd, nreg))
+            q[..., 1] = rng.uniform(1e-4, 4e-4, (nbnd, nreg))
+            q[..., 2] = rng.uniform(1.0, 1.05, (nbnd, nreg))
+            return p, q
+
+        ext_p, ext_q = coefs(0.04, 0.12)    # [m-1 per g m-3] -> tau O(1)
+        ssa_p, ssa_q = coefs(*((0.82, 0.93) if phase == "liquid"
+                               else (0.55, 0.72)))
+        asy_p, asy_q = coefs(*((0.72, 0.84) if phase == "liquid"
+                               else (0.68, 0.78)))
+        out[phase] = dict(band_lims=band_lims, sizereg=sizereg,
+                          sizeref=sizeref, n=n, m=m,
+                          ext_p=ext_p, ext_q=ext_q, ssa_p=ssa_p,
+                          ssa_q=ssa_q, asy_p=asy_p, asy_q=asy_q)
+    return out
+
+
 def catalog_records():
     """All synthetic .par records, sorted by line center."""
     rng = np.random.default_rng(SEED + 1)
@@ -159,6 +234,40 @@ def write_inputs(outdir: str) -> dict:
     x = w_sol / 4000.0
     sol = x ** 3 / (np.expm1(w_sol * 1.4387769 / 5800.0))
     _csv(os.path.join(outdir, "solar.csv"), "w,flux", (w_sol, sol))
+
+    # Aerosol state (CS tier) and deterministic condensate (AF tier).
+    aero = aerosol()
+    with open(os.path.join(outdir, "aerosol.txt"), "w") as f:
+        f.write(f"{NLEV - 1} {aero['alpha']:.10e}\n")
+        for i in range(NLEV - 1):
+            f.write(f"{aero['tau1um'][i]:.10e} {aero['omega'][i]:.10e} "
+                    f"{aero['g'][i]:.10e}\n")
+    cld = clouds()
+    with open(os.path.join(outdir, "cloud.txt"), "w") as f:
+        f.write(f"{NLEV - 1}\n")
+        for i in range(NLEV - 1):
+            f.write(f"{cld['ql'][i]:.10e} {cld['qi'][i]:.10e} "
+                    f"{cld['thickness'][i]:.10e}\n")
+    pade = pade_tables()
+    for phase in ("liquid", "ice"):
+        tb = pade[phase]
+        with open(os.path.join(outdir, f"pade_{phase}.txt"), "w") as f:
+            nbnd = tb["band_lims"].shape[1]
+            nreg = tb["sizeref"].size
+            f.write(f"{nbnd} {nreg} {tb['n']} {tb['m']}\n")
+
+            def block(a):
+                f.write(" ".join(f"{v:.10e}" for v in
+                                 np.asarray(a).ravel()) + "\n")
+
+            block(tb["band_lims"][0])
+            block(tb["band_lims"][1])
+            block(tb["sizereg"][0])
+            block(tb["sizereg"][1])
+            block(tb["sizeref"])
+            for key in ("ext_p", "ext_q", "ssa_p", "ssa_q",
+                        "asy_p", "asy_q"):
+                block(tb[key])
 
     atm = atmosphere()
     with open(os.path.join(outdir, "atm.txt"), "w") as f:

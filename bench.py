@@ -71,7 +71,7 @@ LW_LINES = {1: 60000, 2: 100000, 3: 120000, 4: 30000, 6: 50000,
 SW_LINES = {1: 40000, 2: 10000, 3: 10000, 7: 4000}
 
 
-def build(smoke: bool = False):
+def build(smoke: bool = False, batch_size: int | None = None):
     """The benchmark model + batch; ``smoke`` shrinks everything for CI."""
     import jax.numpy as jnp
     from grtcode_tpu.spectral import SpectralGrid
@@ -86,7 +86,7 @@ def build(smoke: bool = False):
     shrink = 64 if smoke else 1
     lw_grid = SpectralGrid(1.0, 3250.0, 0.1 * (8 if smoke else 1))
     sw_grid = SpectralGrid(1.0, 50000.0, 1.0 * (8 if smoke else 1))
-    B = 4 if smoke else 16
+    B = batch_size if batch_size else (4 if smoke else 16)
     nlayers = 54
 
     def catalog(mol_id, grid, L, seed):
@@ -226,26 +226,110 @@ def make_step(lw_gas, sw_gas, solar):
     return step
 
 
+def sweep_batch(argv):
+    """Run the bench at B in {16, 32, 64} in SUBPROCESSES (a failed
+    native compile at a large B — the round-3 B=32 remote-compile crash —
+    must not kill the sweep), falling back to --chunk 16 column chunking
+    (one B=16 compile, slices concatenated) when the native launch fails.
+    Prints ONE JSON line whose headline value is the best configuration's
+    throughput (VERDICT r3 #6)."""
+    import subprocess
+
+    results = {}
+    for B in (16, 32, 64):
+        for extra in ([], ["--chunk", "16"]):
+            cmd = [sys.executable, os.path.abspath(__file__),
+                   "--batch", str(B)] + extra
+            label = f"B={B}" + ("+chunk16" if extra else "")
+            print(f"sweep: {' '.join(cmd[1:])}", file=sys.stderr)
+            try:
+                proc = subprocess.run(cmd, capture_output=True, text=True,
+                                      timeout=3600)
+            except subprocess.TimeoutExpired:
+                print(f"sweep: {label} timed out", file=sys.stderr)
+                continue
+            if proc.returncode == 0 and proc.stdout.strip():
+                data = json.loads(proc.stdout.strip().splitlines()[-1])
+                results[label] = data["value"]
+                print(f"sweep: {label}: {data['value'] / 1e6:.1f} M pts/s",
+                      file=sys.stderr)
+                break
+            print(f"sweep: {label} failed (rc={proc.returncode}): "
+                  f"{proc.stderr.strip().splitlines()[-1:]}",
+                  file=sys.stderr)
+    if not results:
+        raise SystemExit("sweep: every configuration failed")
+    best = max(results, key=results.get)
+    print(json.dumps({
+        "metric": "gridpoints_per_s_per_chip",
+        "value": results[best],
+        "unit": "column*layer*wavenumber points/s (LW+SW)",
+        "vs_baseline": results[best] / REF_POINTS_PER_S,
+        "best_config": best,
+        "sweep": {k: round(v) for k, v in results.items()},
+    }))
+
+
 def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--smoke", action="store_true")
+    ap.add_argument("--batch", type=int, default=None,
+                    help="columns per step (default 16; smoke 4)")
+    ap.add_argument("--chunk", type=int, default=None,
+                    help="process the batch in column slices of this size "
+                         "through one compiled step (HBM-bounded large B)")
+    ap.add_argument("--sweep-batch", action="store_true",
+                    help="benchmark B in {16,32,64} (subprocesses), report "
+                         "the best")
+    opts = ap.parse_args()
+    if opts.sweep_batch:
+        sweep_batch(sys.argv)
+        return
+
     import jax
 
     enable_compile_cache()
     import jax.numpy as jnp
 
-    smoke = "--smoke" in sys.argv
+    smoke = opts.smoke
     dev = jax.devices()[0]
     print(f"bench device: {dev.platform} ({dev.device_kind})",
           file=sys.stderr)
 
-    lw_gas, sw_gas, solar, batch, B, nlayers = build(smoke)
+    lw_gas, sw_gas, solar, batch, B, nlayers = build(smoke, opts.batch)
+    chunk = opts.chunk if opts.chunk and opts.chunk < B else None
     n_lines = sum(int(m.num_lines) for m in lw_gas.molecules.values()) + \
         sum(int(m.num_lines) for m in sw_gas.molecules.values())
     print(f"catalog: {n_lines} lines, B={B}, layers={nlayers}, "
-          f"lw n={lw_gas.grid.n}, sw n={sw_gas.grid.n}", file=sys.stderr)
-    step = make_step(lw_gas, sw_gas, solar)
+          f"lw n={lw_gas.grid.n}, sw n={sw_gas.grid.n}"
+          + (f", chunk={chunk}" if chunk else ""), file=sys.stderr)
+    step_fn = make_step(lw_gas, sw_gas, solar)
 
-    args = (batch["p_lev"], batch["t_lev"], batch["vmr"], batch["cfc_vmr"],
-            batch["cia_vmr"], batch["mu"], batch["tsi"])
+    def slice_args(lo, hi):
+        def cut(a):
+            return a[lo:hi]
+        return (cut(batch["p_lev"]), cut(batch["t_lev"]),
+                {k: cut(v) for k, v in batch["vmr"].items()},
+                {k: cut(v) for k, v in batch["cfc_vmr"].items()},
+                {k: cut(v) for k, v in batch["cia_vmr"].items()},
+                cut(batch["mu"]), cut(batch["tsi"]))
+
+    if chunk:
+        slices = [slice_args(lo, lo + chunk) for lo in range(0, B, chunk)]
+
+        def step(*args_and_chain):
+            chain = args_and_chain[-1]
+            for s in slices:
+                out = step_fn(*s, chain)
+                chain = out[4]
+            return out
+        args = ()
+    else:
+        step = step_fn
+        args = slice_args(0, B)
+
     t0 = time.perf_counter()
     chain = jnp.float32(0.0)
     out = step(*args, chain)

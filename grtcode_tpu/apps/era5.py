@@ -399,6 +399,18 @@ def main(argv=None):
     driver = build_driver(lw_grid=lw_grid,
                           sw_grid=sw_grid if args.sw else None,
                           hitran_path=hitran, wcutoff=args.line_cutoff)
+    if not args.clear:
+        # All-sky tier: Pade band optics from the -liquid-path/-ice-path
+        # files (run-era5.sh:116-145 runs ERA5 with clouds on via
+        # initialize_clouds_lib).
+        if not (args.liquid_path and args.ice_path):
+            raise SystemExit("cloudy ERA5 run needs -liquid-path and "
+                             "-ice-path (or pass -clear)")
+        from ..clouds import CloudOpticsLib, PadeCloudOptics
+        driver.cloud_optics = CloudOpticsLib(
+            liquid=PadeCloudOptics.from_netcdf(args.liquid_path),
+            ice=PadeCloudOptics.from_netcdf(args.ice_path)
+        ).driver_callback()
     res = driver.run(atm, integrated=args.integrated)
     with Dataset(args.input_file) as nc:
         nlon = nc.dim_size("lon")

@@ -234,12 +234,16 @@ class GasOptics:
 
         bin_method = self.method in ("wavenumber_sweep", "line_sweep")
         bins_tau = None
+        tau_bins = None
         if bin_method:
-            if block_start is not None or block_size is not None:
-                raise NotImplementedError(
-                    "spectral blocks require method='tiled'/'line_sample'")
+            # Bins span the whole band, so under a spectral block the
+            # full-band bin pipeline runs and the block slices out at the
+            # end (correctness-first sharding for the two alternate
+            # methods; the production driver uses line_sample,
+            # framework/src/driver.c:618).
             bins_tau = jnp.zeros((rows, self.bins.n, bins_mod.NIP),
                                  jnp.float32)
+            tau_bins = jnp.zeros((rows, self.grid.n), jnp.float32)
             bin_w_rel = ((self.bins.w - self.grid.w0)
                          / self.grid.dw).astype(np.float32)
 
@@ -264,7 +268,7 @@ class GasOptics:
                          prep.lorentz, prep.doppler)))
             if bin_method:
                 br = self._get_bin_ranges(mol_id)
-                tau, bins_tau = bins_mod.accumulate_bins(
+                tau_bins, bins_tau = bins_mod.accumulate_bins(
                     prep.center_idx, prep.center_frac, prep.strength,
                     prep.lorentz, prep.doppler, ns,
                     jnp.asarray(br.local_lo), jnp.asarray(br.local_cnt),
@@ -273,8 +277,8 @@ class GasOptics:
                     jnp.asarray(self.bins.l, jnp.int32), bin_w_rel,
                     ppb=self.bins.ppb, nbins=self.bins.n,
                     lmax_local=br.lmax_local, lmax_remote=br.lmax_remote,
-                    dw=float(self.grid.dw), num_wpoints=nw, tau0=tau,
-                    bins_tau0=bins_tau)
+                    dw=float(self.grid.dw), num_wpoints=self.grid.n,
+                    tau0=tau_bins, bins_tau0=bins_tau)
             elif self.method in ("tiled", "line_sample"):
                 near = self.near_steps[mol_id]
                 # Split accumulation: cheap far-wing pass (regions 0/1
@@ -285,11 +289,13 @@ class GasOptics:
                 # NOTE: block_start must be a multiple of self.tile.
                 if self._use_pallas():
                     # One fused kernel covers both sides of the split.
+                    # hw is the BAND maximum so every molecule reuses one
+                    # compiled kernel (fsteps/near are dynamic scalars).
                     tau = pk.accumulate_voigt_pallas(
                         prep, bound.c0, ns, self.chunk_ranges[mol_id],
                         num_wpoints=nw, dw=float(self.grid.dw),
                         fsteps=self._fsteps, near=near,
-                        hw=self.near_hw[mol_id], tile=self.tile,
+                        hw=max(self.near_hw.values()), tile=self.tile,
                         ch=self.pallas_ch,
                         num_global=self.grid.n, tau0=tau, start=start,
                         interpret=self.pallas == "interpret",
@@ -347,13 +353,22 @@ class GasOptics:
 
         if bin_method:
             # Interpolate the accumulated line wings onto the fine grid
-            # after ALL absorbers (launch.c:211-218).
-            tau = bins_mod.interpolate_bins(
+            # after ALL absorbers (launch.c:211-218), then slice the
+            # active spectral block out of the band-global result.
+            tau_bins = bins_mod.interpolate_bins(
                 bins_tau, jnp.asarray(self.bins.l, jnp.int32), bin_w_rel,
                 ppb=self.bins.ppb, last_ppb=self.bins.last_ppb,
                 do_interp=self.bins.do_interp,
                 do_last_interp=self.bins.do_last_interp,
-                num_wpoints=nw, tau=tau)
+                num_wpoints=self.grid.n, tau=tau_bins)
+            if block_start is None and block_size is None:
+                tau = tau + tau_bins
+            else:
+                # Pad by one block so any tile-aligned start stays in
+                # bounds (start < grid.n, see driver block construction).
+                tau = tau + jax.lax.dynamic_slice_in_dim(
+                    jnp.pad(tau_bins, ((0, 0), (0, nw))),
+                    jnp.asarray(start, jnp.int32), nw, axis=1)
 
         tau = tau.reshape(B, nlayers, nw)
         return tau if batched else tau[0]

@@ -86,3 +86,33 @@ def test_bin_methods_approximate_line_sample():
         # Integrated tau per layer agrees to ~1%.
         num = np.abs(approx.sum(-1) - exact.sum(-1))
         assert (num <= 0.02 * exact.sum(-1)).all(), method
+
+
+@pytest.mark.parametrize("method", ["wavenumber_sweep", "line_sweep"])
+def test_bin_method_spectral_blocks(method):
+    """Bin-interpolated methods accept spectral blocks (the band-global
+    bin pipeline runs per shard and the block slices out), so they work
+    under a (columns x spectral) mesh like line_sample — block results
+    equal the corresponding full-grid slice exactly."""
+    v0, s0, yair, yself, en, nexp, d, iso = _lcg_params()
+    cat = synthetic_catalog(1, v0, s0, yair=yair, yself=yself, en=en,
+                            n=nexp, d=np.zeros_like(d), iso=iso)
+    grid = SpectralGrid(100.0, 400.0, 0.1)
+    gas = GasOptics(grid, line_chunk=64, method=method)
+    gas.add_catalog(cat)
+
+    i = np.arange(NUM_LEVELS)
+    p_mb = (1e-5 + (1.0 - 1e-5) * i / (NUM_LEVELS - 1.0)) \
+        / constants.MB_TO_ATM
+    t = 215.0 + 73.0 * i / (NUM_LEVELS - 1.0)
+    x = 1e-5 + 3e-3 * i / (NUM_LEVELS - 1.0)
+    args = (np.asarray(p_mb, np.float32), np.asarray(t, np.float32),
+            {1: np.asarray(x, np.float32)})
+    full = np.asarray(gas.optical_depth(*args))
+    # Tile-aligned blocks incl. a tail block padding past the grid end.
+    for start, size in ((0, 1024), (1024, 1024), (2048, 1024)):
+        block = np.asarray(gas.optical_depth(
+            *args, block_start=start, block_size=size))
+        want = full[:, start:start + size]
+        np.testing.assert_allclose(block[:, :want.shape[1]], want,
+                                   rtol=1e-6, atol=1e-8)

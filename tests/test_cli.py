@@ -48,7 +48,9 @@ def test_era5_main(era5_file, ghg_file, tmp_path):  # noqa: F811
     era5.main(["none", "none", era5_file, ghg_file, "-year", "1",
                "-clear", "-integrated", "-o", out] + COARSE)
     with h5py.File(out, "r") as f:
-        rlu = np.asarray(f["rlu"])
-        assert rlu.shape[:3] == (ERA5_T, ERA5_Y, ERA5_X)
-        assert np.isfinite(rlu).all()
+        rlut = np.asarray(f["rlutcsaf"])
+        assert rlut.shape == (ERA5_T, ERA5_Y, ERA5_X)
+        assert np.isfinite(rlut).all() and rlut.max() > 0
+        # State profiles ride along (era5.c:865-886).
+        assert np.asarray(f["p"]).shape[1] > 1
         assert f.attrs["lon_global_size"] == ERA5_X

@@ -289,13 +289,16 @@ class GasOptics:
                 # NOTE: block_start must be a multiple of self.tile.
                 if self._use_pallas():
                     # One fused kernel covers both sides of the split.
-                    # hw is the BAND maximum so every molecule reuses one
-                    # compiled kernel (fsteps/near are dynamic scalars).
+                    # near is a dynamic scalar (molecules sharing an hw
+                    # share one compiled kernel); hw itself stays static
+                    # per molecule — it sets the near-core unroll length,
+                    # and padding it to the band maximum measurably
+                    # wastes near-core work (~2% whole-bench).
                     tau = pk.accumulate_voigt_pallas(
                         prep, bound.c0, ns, self.chunk_ranges[mol_id],
                         num_wpoints=nw, dw=float(self.grid.dw),
                         fsteps=self._fsteps, near=near,
-                        hw=max(self.near_hw.values()), tile=self.tile,
+                        hw=self.near_hw[mol_id], tile=self.tile,
                         ch=self.pallas_ch,
                         num_global=self.grid.n, tau0=tau, start=start,
                         interpret=self.pallas == "interpret",

@@ -234,8 +234,8 @@ def _humlicek_eval(xi, xq, y, yq, a0, d0, d2, coeffs):
 
 def _voigt_kernel(lo_ref, nchunks_ref, cnl_ref, cnh_ref, m0l_ref, m0h_ref,
                   fll_ref, flh_ref, frl_ref, frh_ref, start_ref,
-                  fsteps_ref, near_ref, params,
-                  out_ref, buf, sems, *, tile: int, ch: int,
+                  near_ref, params,
+                  out_ref, buf, sems, *, tile: int, ch: int, fsteps: int,
                   hw: int, rblock: int, include_near: bool,
                   num_global: int, punroll: int = PUNROLL,
                   newton: int = 2, far_layout: str = "lines"):
@@ -268,11 +268,12 @@ def _voigt_kernel(lo_ref, nchunks_ref, cnl_ref, cnh_ref, m0l_ref, m0h_ref,
     def _():
         get_dma(0, 0).start()
 
-    # fsteps/near arrive as DYNAMIC scalars so every molecule of a band
-    # shares ONE compiled kernel (the per-molecule near-core half-width
-    # only enters through these masks; the static unroll uses the band
-    # maximum hw).
-    fs = fsteps_ref[0].astype(jnp.float32)
+    # near arrives as a DYNAMIC scalar so every molecule of a band shares
+    # ONE compiled kernel (the per-molecule near-core half-width only
+    # enters through these masks; the static unroll uses the band maximum
+    # hw).  fsteps stays STATIC: it is band-constant (wcutoff/dw), and
+    # bands compile separately anyway (num_global differs).
+    fs = jnp.float32(fsteps)
     nr = near_ref[0].astype(jnp.float32)
 
     def chunk_body(c, _):
@@ -540,12 +541,12 @@ def _voigt_kernel(lo_ref, nchunks_ref, cnl_ref, cnh_ref, m0l_ref, m0h_ref,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("tile", "ch", "hw", "ntiles_block",
+    static_argnames=("tile", "ch", "fsteps", "hw", "ntiles_block",
                      "rpad", "rblock", "include_near", "num_global",
                      "punroll", "newton", "interpret", "far_layout"))
 def voigt_pallas(channels, lo, nchunks, cnl, cnh, m0l, m0h, fll, flh, frl,
-                 frh, start, fsteps, near, *, tile: int,
-                 ch: int, hw: int,
+                 frh, start, near, *, tile: int,
+                 ch: int, fsteps: int, hw: int,
                  ntiles_block: int, rpad: int, num_global: int,
                  rblock: int | None = None, include_near: bool = True,
                  punroll: int = PUNROLL, newton: int = 2,
@@ -595,7 +596,7 @@ def voigt_pallas(channels, lo, nchunks, cnl, cnh, m0l, m0h, fll, flh, frl,
             rblock = best
     nrb = -(-rpad // rblock)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=13,
+        num_scalar_prefetch=12,
         grid=(ntiles_block, nrb),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((tile, rblock), lambda t, rb, *_: (t, rb),
@@ -606,7 +607,7 @@ def voigt_pallas(channels, lo, nchunks, cnl, cnh, m0l, m0h, fll, flh, frl,
         ],
     )
     kernel = functools.partial(_voigt_kernel, tile=tile, ch=ch,
-                               hw=hw,
+                               fsteps=fsteps, hw=hw,
                                rblock=rblock, include_near=include_near,
                                num_global=num_global, punroll=punroll,
                                newton=newton, far_layout=far_layout)
@@ -622,7 +623,6 @@ def voigt_pallas(channels, lo, nchunks, cnl, cnh, m0l, m0h, fll, flh, frl,
       jnp.asarray(fll, jnp.int32), jnp.asarray(flh, jnp.int32),
       jnp.asarray(frl, jnp.int32), jnp.asarray(frh, jnp.int32),
       jnp.asarray(start, jnp.int32).reshape(1),
-      jnp.asarray(fsteps, jnp.int32).reshape(1),
       jnp.asarray(near, jnp.int32).reshape(1), channels)
 
 
@@ -790,8 +790,8 @@ def accumulate_voigt_pallas(prep, c0, ns, ranges: ChunkRanges, *,
     tvalid = t0 + jnp.arange(ntiles_block, dtype=jnp.int32) < ntiles_global
     tables[1] = jnp.where(tvalid, tables[1], 0)
 
-    tau_t = voigt_pallas(channels, *tables, start, fsteps, near,
-                         tile=tile, ch=ch, hw=hw,
+    tau_t = voigt_pallas(channels, *tables, start, near,
+                         tile=tile, ch=ch, fsteps=fsteps, hw=hw,
                          ntiles_block=ntiles_block, rpad=rpad,
                          num_global=num_global, include_near=include_near,
                          punroll=punroll, newton=newton, rblock=rblock,

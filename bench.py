@@ -332,8 +332,20 @@ def main():
 
     t0 = time.perf_counter()
     chain = jnp.float32(0.0)
-    out = step(*args, chain)
-    float(out[4])
+    # The environment's remote-compile helper occasionally drops a
+    # connection mid-compile ("response body closed..."); retry the
+    # first (compiling) step a couple of times before giving up.
+    for attempt in range(3):
+        try:
+            out = step(*args, chain)
+            float(out[4])
+            break
+        except Exception as e:
+            if attempt == 2 or "remote_compile" not in str(e):
+                raise
+            print(f"compile attempt {attempt + 1} failed "
+                  f"(transient remote-compile error), retrying",
+                  file=sys.stderr)
     print(f"compile+first step: {time.perf_counter() - t0:.1f}s",
           file=sys.stderr)
 

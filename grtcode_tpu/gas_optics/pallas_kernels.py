@@ -185,22 +185,26 @@ def _humlicek_y_coeffs(y, yq, xlim0):
             e4, z0, z2, z4, z6, z8, p0, p2, p4, p6, p8, ypy0, ypy0q, yf)
 
 
-def _humlicek_eval(xi, xq, y, yq, a0, d0, d2, coeffs):
+def _humlicek_eval(xi, xq, y, yq, a0, d0, d2, coeffs, rcp=None):
     """Full RFM Humlicek region scheme K(x, y) given hoisted coefficients.
 
     Matches grtcode_tpu.gas_optics.voigt.humlicek_k for y < 70.55; callers
-    handle the pure-Lorentz limit separately.
+    handle the pure-Lorentz limit separately.  ``rcp`` substitutes a fast
+    ~1-ulp reciprocal for the 14 divides (in-kernel use).
     """
+    if rcp is None:
+        def rcp(x):
+            return 1.0 / x
     (xlim0_s, xlim1, xlim2, xlim3, xlim4, h0, h2, h4, h6, e0, e2, e4,
      z0, z2, z4, z6, z8, p0, p2, p4, p6, p8, ypy0, ypy0q, yf) = coeffs
     abx = jnp.abs(xi)
 
     yrrtpi = y * _RSQRPI
-    k0 = yrrtpi / (xq + yq)
-    k1 = (_RSQRPI / (d0 + xq * (d2 + xq))) * y * (a0 + xq)
-    k2 = (_RSQRPI / (h0 + xq * (h2 + xq * (h4 + xq * (h6 + xq))))) * \
+    k0 = yrrtpi * rcp(xq + yq)
+    k1 = (_RSQRPI * rcp(d0 + xq * (d2 + xq))) * y * (a0 + xq)
+    k2 = (_RSQRPI * rcp(h0 + xq * (h2 + xq * (h4 + xq * (h6 + xq))))) * \
         y * (e0 + xq * (e2 + xq * (e4 + xq)))
-    k3 = (1.7724538 / (z0 + xq * (z2 + xq * (z4 + xq * (z6
+    k3 = (1.7724538 * rcp(z0 + xq * (z2 + xq * (z4 + xq * (z6
           + xq * (z8 + xq)))))) * \
         (p0 + xq * (p2 + xq * (p4 + xq * (p6 + xq * p8))))
 
@@ -209,18 +213,20 @@ def _humlicek_eval(xi, xq, y, yq, a0, d0, d2, coeffs):
     for j in range(6):
         d = xi - _T6[j]
         mq = d * d
-        mf = 1.0 / (mq + ypy0q)
+        mf = rcp(mq + ypy0q)
         xm = mf * d
         ym = mf * ypy0
         dp = xi + _T6[j]
         pq = dp * dp
-        pf = 1.0 / (pq + ypy0q)
+        pf = rcp(pq + ypy0q)
         xp = pf * dp
         yp = pf * ypy0
         k4a = k4a + _C6[j] * (ym + yp) - _S6[j] * (xm - xp)
         k4b = k4b + (
-            (_C6[j] * (mq * mf - 1.5 * ym) + _S6[j] * yf * xm) / (mq + 2.25)
-            + (_C6[j] * (pq * pf - 1.5 * yp) - _S6[j] * yf * xp) / (pq + 2.25)
+            (_C6[j] * (mq * mf - 1.5 * ym) + _S6[j] * yf * xm)
+            * rcp(mq + 2.25)
+            + (_C6[j] * (pq * pf - 1.5 * yp) - _S6[j] * yf * xp)
+            * rcp(pq + 2.25)
         )
     k4b = y * k4b + jnp.exp(-xq)
     k4 = jnp.where(abx <= xlim4, k4a, k4b)
@@ -496,6 +502,13 @@ def _voigt_kernel(lo_ref, nchunks_ref, cnl_ref, cnh_ref, m0l_ref, m0h_ref,
                         precision=jax.lax.Precision.HIGHEST,
                         preferred_element_type=jnp.float32)
 
+                def rcp(x):
+                    # ~1-ulp reciprocal (see voigt_pallas newton note).
+                    r = pl.reciprocal(x, approx=True)
+                    for _ in range(newton):
+                        r = r * (2.0 - x * r)
+                    return r
+
                 for o in range(2 * hw + 1):
                     off = jnp.float32(o - hw)
                     # g - cidx = off - adj; in-window, near-core, and
@@ -508,11 +521,14 @@ def _voigt_kernel(lo_ref, nchunks_ref, cnl_ref, cnh_ref, m0l_ref, m0h_ref,
                     abx = jnp.abs(xi)
                     # Cheap regions 0/1 value — exact for every unmasked
                     # lane with xq >= 164 (non-tiny y); always accumulated.
-                    k0 = (y * jnp.float32(_RSQRPI)) / (xq + yq)
+                    # ONE reciprocal of (xq + yq) serves both k0 and the
+                    # Lorentz-lane value.
+                    r0 = rcp(xq + yq)
+                    k0 = (y * jnp.float32(_RSQRPI)) * r0
                     k1 = (jnp.float32(_RSQRPI)
-                          / (d0 + xq * (d2 + xq))) * y * (a0 + xq)
+                          * rcp(d0 + xq * (d2 + xq))) * y * (a0 + xq)
                     k01 = jnp.where(abx >= xlim0_s, k0, k1)
-                    k_lor = snum0 / (xq + yq)      # exact Lorentz lanes
+                    k_lor = snum0 * r0             # exact Lorentz lanes
                     cheap = jnp.where(lor, k_lor, sfac * k01)
                     cheap = jnp.where(m, cheap, 0.0)   # (ch, rblock)
                     onehot = jnp.where(pos[:, :1] + off == iota_t, 1.0, 0.0)
@@ -530,7 +546,7 @@ def _voigt_kernel(lo_ref, nchunks_ref, cnl_ref, cnh_ref, m0l_ref, m0h_ref,
                     @pl.when(pred)
                     def _(xi=xi, xq=xq, k01=k01, need=need, onehot=onehot):
                         k_full = _humlicek_eval(xi, xq, y, yq, a0, d0, d2,
-                                                coeffs)
+                                                coeffs, rcp=rcp)
                         corr = jnp.where(need, sfac * (k_full - k01), 0.0)
                         out_ref[:] += dot_place(onehot, corr)
                 out_ref[:] += acc

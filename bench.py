@@ -86,7 +86,9 @@ def build(smoke: bool = False, batch_size: int | None = None):
     shrink = 64 if smoke else 1
     lw_grid = SpectralGrid(1.0, 3250.0, 0.1 * (8 if smoke else 1))
     sw_grid = SpectralGrid(1.0, 50000.0, 1.0 * (8 if smoke else 1))
-    B = batch_size if batch_size else (4 if smoke else 16)
+    # B=32 measured fastest on v5e (--sweep-batch: 60.2M @16, 64.1M @32,
+    # 60.3M @64-chunked; 64 in one launch exceeds HBM).
+    B = batch_size if batch_size else (4 if smoke else 32)
     nlayers = 54
 
     def catalog(mol_id, grid, L, seed):
@@ -237,7 +239,10 @@ def sweep_batch(argv):
 
     results = {}
     for B in (16, 32, 64):
-        for extra in ([], ["--chunk", "16"]):
+        # The chunked fallback only differs from the native run when the
+        # chunk is smaller than the batch.
+        variants = [[]] if B <= 16 else [[], ["--chunk", "16"]]
+        for extra in variants:
             cmd = [sys.executable, os.path.abspath(__file__),
                    "--batch", str(B)] + extra
             label = f"B={B}" + ("+chunk16" if extra else "")

@@ -113,16 +113,18 @@ def load_atmosphere(era5_path: str, ghg_path: str, year: int,
 
         # Solar zenith angle from tisr (era5.c:350-415; the reference
         # comments the derivation out and hardcodes -1 -> LW only).
-        tisr = nc.var("tisr", (t, y, x)) / SECONDS_PER_DAY   # W m-2
         if derive_zenith:
             # mu = tisr / planetary-mean irradiance, where the mean is a
             # cos(lat)-weighted average of the GLOBAL field (era5.c:352-400
             # reads weights and irradiance with start=0 over every lat/lon,
             # not the selected hyperslab) times 4 (sphere/disc ratio).
+            # One read of the (largest) tisr variable serves both the
+            # global mean and the hyperslab.
             lat_g = nc.var("lat")
             w_g = np.cos(np.deg2rad(lat_g))
             tisr_g = nc.var("tisr", (t, slice(None), slice(None))) \
                 / SECONDS_PER_DAY
+            tisr = tisr_g[:, y][:, :, x]             # selected slab
             zonal = tisr_g.mean(axis=2)              # (T, nlat_global)
             mean_irr = 4.0 * (zonal * w_g).sum(axis=1) / w_g.sum()
             mu = (tisr / mean_irr[:, None, None]).reshape(-1)

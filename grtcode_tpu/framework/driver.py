@@ -252,14 +252,22 @@ class RadiationDriver:
                 if not (0 < lit.size < atm.batch):
                     lit = night = None
 
+        def bucket_pad(idx):
+            b = 1
+            while b < idx.size:
+                b *= 2
+            b = min(b, atm.batch)
+            return np.concatenate(
+                [idx, np.repeat(idx[:1], b - idx.size)])
+
+        if lit is not None and bucket_pad(lit).size >= atm.batch:
+            # The lit bucket rounds up to the whole batch (> half the
+            # columns are lit): compaction would save no SW work while
+            # ADDING a night LW-only step — use the masked full-batch
+            # path instead.
+            lit = night = None
+
         if lit is not None:
-            def bucket_pad(idx):
-                b = 1
-                while b < idx.size:
-                    b *= 2
-                b = min(b, atm.batch)
-                return np.concatenate(
-                    [idx, np.repeat(idx[:1], b - idx.size)])
 
             def gather(tree, idx):
                 i = jnp.asarray(idx)
@@ -309,9 +317,12 @@ class RadiationDriver:
         ``with_sw=False`` builds the LW-only variant (night batches /
         the shipped-ERA5 configuration): SW fluxes are integrated zeros.
         """
+        # The cloud_optics OBJECT itself is part of the key (not its id):
+        # holding it in the memo dict keeps it alive, so a later rebind
+        # can never alias a recycled address to a stale compiled step.
         key = (clean, clear, integrated, mesh, with_sw, self.sw_solver,
                self.disort_streams, self.num_subcolumns, self.cloud_seed,
-               id(self.cloud_optics))
+               self.cloud_optics)
         try:
             return self._step_cache[key]
         except (KeyError, TypeError):   # TypeError: unhashable mesh

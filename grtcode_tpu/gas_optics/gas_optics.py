@@ -88,6 +88,10 @@ class GasOptics:
     def __post_init__(self):
         if self.tips is None:
             self.tips = tips_mod.default_tips()
+        if self.pallas_layout not in ("lines", "points"):
+            raise ValueError(
+                f"pallas_layout {self.pallas_layout!r}: expected 'lines' "
+                "or 'points' (check $GRTCODE_TPU_FAR_LAYOUT)")
         if not (constants.MIN_LINE_CUTOFF <= self.wcutoff
                 <= constants.MAX_LINE_CUTOFF):
             raise ValueError(f"cutoff {self.wcutoff} outside allowed range")

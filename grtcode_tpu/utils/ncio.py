@@ -74,15 +74,22 @@ class Writer:
         ds.make_scale(name)
         self._dims[name] = ds
 
+    # netCDF NC_FILL_FLOAT: defined-but-unwritten variables read back as
+    # this, exactly as the reference's files do — distinguishable from a
+    # genuine zero flux.
+    FILL_VALUE = np.float32(9.96921e36)
+
     def create_variable(self, name: str, dims: tuple, data=None,
                         units: str | None = None, **attrs):
         """Define a variable over named dimensions; ``data=None`` defines
         it without writing (the netCDF fill-value pattern era5.c relies on
         for variables its configuration never computes — HDF5 allocates
-        lazily, so unwritten variables cost no file space)."""
+        lazily, so unwritten variables cost no file space and read back
+        as NC_FILL_FLOAT)."""
         if data is None:
             shape = tuple(self._dims[d].shape[0] for d in dims)
-            ds = self._f.create_dataset(name, shape=shape, dtype=np.float32)
+            ds = self._f.create_dataset(name, shape=shape, dtype=np.float32,
+                                        fillvalue=self.FILL_VALUE)
         else:
             ds = self._f.create_dataset(name,
                                         data=np.asarray(data, np.float32))

@@ -154,10 +154,13 @@ def test_output_variable_surface(era5_file, ghg_file, tmp_path):
         assert expected <= names
         assert names - expected == dims
         # ch4_vmr comes from the GHG annual mean; rlutcsaf has data;
-        # the LW-only run leaves SW variables defined but unwritten.
+        # the LW-only run leaves SW variables as netCDF fill values
+        # (NC_FILL_FLOAT, exactly the reference's file behavior) so
+        # "never computed" is distinguishable from a genuine zero flux.
+        from grtcode_tpu.utils.ncio import Writer
         assert np.asarray(f["ch4_vmr"]).max() > 0
         assert np.asarray(f["rlutcsaf"]).max() > 0
-        assert np.all(np.asarray(f["rsutaf"]) == 0.0)
+        assert np.all(np.asarray(f["rsutaf"]) == Writer.FILL_VALUE)
         assert f["rsutaf"].shape == (T, Y, X)
 
 
@@ -216,7 +219,8 @@ def test_spectral_output(era5_file, ghg_file, tmp_path):
             assert f[name].shape == (T, Y, X, lw_grid.n), name
         # LW-only configuration: SW variables defined, never written
         # (the reference's fill-value behavior, era5.c:406-415).
-        assert np.all(np.asarray(f["rsutcsaf"]) == 0.0)
+        from grtcode_tpu.utils.ncio import Writer
+        assert np.all(np.asarray(f["rsutcsaf"]) == Writer.FILL_VALUE)
         from grtcode_tpu.utils.interp import trapezoid_uniform
         res_int = drv.run(atm, integrated=True)
         np.testing.assert_allclose(

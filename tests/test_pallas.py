@@ -251,3 +251,29 @@ def test_gas_optics_batched_matches_single():
     np.testing.assert_allclose(np.asarray(tau_pl), np.asarray(tau_jnp),
                                rtol=2e-6, atol=1e-12)
     assert np.abs(np.asarray(tau_jnp)).max() > 0
+
+
+@pytest.mark.parametrize("layout", ["points"])
+def test_transposed_far_layout_matches_jnp(setup, layout):
+    """The transposed 'points' far-wing layout (production-reachable via
+    $GRTCODE_TPU_FAR_LAYOUT) reproduces the jnp ground truth on the full
+    grid and on a spectral block, with the three-zone classification on
+    — the default 'lines' layout is covered by every other test."""
+    grid, bound, prep, ns, fsteps, near = setup
+    hw = near + 2
+    r0 = lines_mod.region0_halfwidth(bound, grid.dw)
+    ranges = pk.build_chunk_ranges(
+        bound.c0, grid.n, fsteps, TILE, CH, shift_margin=2, near_hw=hw,
+        region0_hw=r0)
+    nw = -(-grid.n // TILE) * TILE
+    ref = np.asarray(_pallas(grid, bound, prep, ns, fsteps, near, nw, 0,
+                             include_near=True, region0_hw=r0))
+    for start, size in ((0, nw), (2 * TILE, 4 * TILE)):
+        got = np.asarray(pk.accumulate_voigt_pallas(
+            prep, bound.c0, ns, ranges,
+            num_wpoints=size, dw=float(grid.dw), fsteps=fsteps,
+            near=near, hw=hw, tile=TILE, ch=CH, num_global=grid.n,
+            start=start, interpret=True, far_layout=layout))
+        np.testing.assert_allclose(
+            got, ref[:, start:start + size], rtol=3e-6, atol=1e-12)
+    assert np.abs(ref).max() > 0

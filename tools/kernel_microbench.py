@@ -23,7 +23,6 @@ def main():
                     help="far layout: points | lines (default: env/default)")
     ap.add_argument("--tile", type=int, default=64)
     ap.add_argument("--ch", type=int, default=32)
-    ap.add_argument("--rblock", type=int, default=None)
     ap.add_argument("--lines", type=int, default=200_000)
     ap.add_argument("--B", type=int, default=16)
     ap.add_argument("--iters", type=int, default=5)
@@ -87,7 +86,7 @@ def main():
     dt = (time.perf_counter() - t0) / args.iters
     pts = B * nlayers * grid.n
     print(f"layout={args.layout or gas.pallas_layout} tile={args.tile} "
-          f"ch={args.ch} rblock={args.rblock}: {dt * 1e3:.1f} ms/step, "
+          f"ch={args.ch}: {dt * 1e3:.1f} ms/step, "
           f"{pts / dt / 1e6:.1f} M pts/s")
 
 

@@ -312,7 +312,8 @@ def main(argv=None):
             liquid=PadeCloudOptics.from_netcdf(args.liquid_path),
             ice=PadeCloudOptics.from_netcdf(args.ice_path)).driver_callback()
 
-    res = driver.run(atm, integrated=True)
+    res = driver.run(atm, integrated=True,
+                     mesh=cli.mesh_from_args(args))
 
     # Per-level flux output file (circ.c create_flux_file/write_output,
     # :527-560: rlu/rld/rsu/rsd over the level dimension).

@@ -413,7 +413,8 @@ def main(argv=None):
             liquid=PadeCloudOptics.from_netcdf(args.liquid_path),
             ice=PadeCloudOptics.from_netcdf(args.ice_path)
         ).driver_callback()
-    res = driver.run(atm, integrated=args.integrated)
+    res = driver.run(atm, integrated=args.integrated,
+                     mesh=cli.mesh_from_args(args))
     with Dataset(args.input_file) as nc:
         nlon = nc.dim_size("lon")
         nlat = nc.dim_size("lat")

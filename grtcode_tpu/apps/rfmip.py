@@ -263,7 +263,8 @@ def main(argv=None):
     hitran = None if args.hitran_file in ("none", "-") else args.hitran_file
     driver = build_driver(hitran_path=hitran, lw_grid=lw_grid,
                           sw_grid=sw_grid, wcutoff=args.line_cutoff)
-    res = driver.run(atm, integrated=args.integrated)
+    res = driver.run(atm, integrated=args.integrated,
+                     mesh=cli.mesh_from_args(args))
     write_fluxes(args.output, res, atm.level_pressure, x=args.x,
                  user_level=args.flux_at_level, lw_grid=lw_grid,
                  sw_grid=sw_grid)

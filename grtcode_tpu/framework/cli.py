@@ -47,7 +47,25 @@ def shared_parser(description: str) -> argparse.ArgumentParser:
     p.add_argument("-o3-ctm", dest="o3_ctm",
                    help="Ozone continuum CSV file.")
     p.add_argument("-v", "--verbose", action="store_true")
+    p.add_argument("-mesh", default=None, metavar="CxS",
+                   help="Shard over a (columns x spectral) device mesh, "
+                        "e.g. '4x2' (the TPU-native equivalent of the "
+                        "reference's per-node -x/-X SLURM slices; the "
+                        "batch must divide by C).")
     return p
+
+
+def mesh_from_args(args):
+    """The device mesh requested via ``-mesh CxS`` (None when absent)."""
+    if not getattr(args, "mesh", None):
+        return None
+    from ..parallel import make_mesh
+
+    try:
+        c, s = (int(v) for v in args.mesh.lower().split("x"))
+    except ValueError:
+        raise SystemExit(f"-mesh {args.mesh!r}: expected CxS, e.g. 4x2")
+    return make_mesh(c, s)
 
 
 def grids_from_args(args) -> tuple[SpectralGrid, SpectralGrid]:

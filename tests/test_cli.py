@@ -54,3 +54,29 @@ def test_era5_main(era5_file, ghg_file, tmp_path):  # noqa: F811
         # State profiles ride along (era5.c:865-886).
         assert np.asarray(f["p"]).shape[1] > 1
         assert f.attrs["lon_global_size"] == ERA5_X
+
+
+def test_era5_main_mesh(era5_file, ghg_file, tmp_path):  # noqa: F811
+    """-mesh CxS shards the app run over a (columns x spectral) device
+    mesh from the command line (the TPU-native counterpart of the
+    reference's per-node -x/-X SLURM slices); results match the
+    unsharded run."""
+    out_m = str(tmp_path / "era5_mesh.nc")
+    out_1 = str(tmp_path / "era5_flat.nc")
+    base = ["none", "none", era5_file, ghg_file, "-year", "1", "-clear",
+            "-integrated"] + COARSE
+    era5.main(base + ["-o", out_1])
+    era5.main(base + ["-o", out_m, "-mesh", "4x2"])
+    with h5py.File(out_1, "r") as f1, h5py.File(out_m, "r") as fm:
+        np.testing.assert_allclose(
+            np.asarray(fm["rlutcsaf"]), np.asarray(f1["rlutcsaf"]),
+            rtol=2e-5, atol=1e-4)
+
+
+def test_mesh_flag_rejects_bad_spec():
+    from grtcode_tpu.framework import cli
+
+    p = cli.shared_parser("t")
+    args = p.parse_args(["none", "none", "-mesh", "nonsense"])
+    with pytest.raises(SystemExit):
+        cli.mesh_from_args(args)

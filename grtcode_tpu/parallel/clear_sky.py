@@ -73,7 +73,7 @@ class ClearSkyRT:
     sw_gas: GasOptics | None = None
     solar: SolarFlux | None = None
 
-    def step(self, mesh: Mesh | None = None):
+    def step(self, mesh: Mesh | None = None, integrated: bool = True):
         """Build the jitted batched step function.
 
         The returned fn takes a dict batch with arrays:
@@ -82,7 +82,9 @@ class ClearSkyRT:
           vmr_lw: (B, M_lw, nlevels); vmr_sw: (B, M_sw, nlevels)
           optional cfc_vmr_lw / cia_vmr_lw: (B, C, nlevels)
         and returns {"rlu", "rld", "rsu", "rsd"}: (B, nlevels) integrated
-        fluxes [W m-2].
+        fluxes [W m-2], or (B, nlevels, nw_band) spectra when
+        ``integrated=False`` (under a mesh each shard computes its
+        wavenumber block and a tiled all_gather reassembles the band).
 
         With a mesh, the batch axis shards over "columns" and each band's
         spectral grid splits into contiguous blocks over "spectral".
@@ -91,9 +93,11 @@ class ClearSkyRT:
             raise ValueError("sw_gas set but no solar flux")
         driver = RadiationDriver(lw_gas=self.lw_gas, sw_gas=self.sw_gas,
                                  solar=self.solar)
-        inner = driver._step(clean=True, clear=True, integrated=True,
+        inner = driver._step(clean=True, clear=True, integrated=integrated,
                              mesh=mesh)
         has_sw = self.sw_gas is not None
+        nw_lw = self.lw_gas.grid.n
+        nw_sw = self.sw_gas.grid.n if has_sw else nw_lw
 
         def fn(batch):
             t_lev = jnp.asarray(batch["t_lev"], jnp.float32)
@@ -123,6 +127,12 @@ class ClearSkyRT:
                     "vmr_sw": _unstack(self.sw_gas, batch["vmr_sw"],
                                        "molecules"),
                 })
-            return inner(col, None)["csaf"]
+            out = inner(col, None)["csaf"]
+            if not integrated and mesh is not None:
+                # Gathered spectral blocks are tile-padded per shard;
+                # trim each band back to its grid length.
+                out = {k: v[..., :nw_lw if k in ("rlu", "rld") else nw_sw]
+                       for k, v in out.items()}
+            return out
 
         return jax.jit(fn)

@@ -143,7 +143,8 @@ def run_process_segment(model, batch: dict, out_dir: str, name: str,
                         n_spectral: int = 1,
                         process_index: int | None = None,
                         num_processes: int | None = None,
-                        x: int = 0, X: int | None = None) -> str:
+                        x: int = 0, X: int | None = None,
+                        integrated: bool = True) -> str:
     """The per-host production flow: slice -> local-mesh step -> segment.
 
     ``model`` is a ClearSkyRT (or anything with ``.step(mesh)``); ``batch``
@@ -167,7 +168,7 @@ def run_process_segment(model, batch: dict, out_dir: str, name: str,
                  and v.shape[0] == num_columns else v)
              for k, v in batch.items()}
     mesh = local_mesh(n_spectral=n_spectral)
-    out = model.step(mesh=mesh)(local)
+    out = model.step(mesh=mesh, integrated=integrated)(local)
     out = {k: np.asarray(v) for k, v in out.items()}
     return write_segment(out_dir, name, pid, start, stop, out,
                          manifest=manifest)

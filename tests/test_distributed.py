@@ -70,7 +70,7 @@ def test_run_process_segment_idempotent(tmp_path, monkeypatch):
     calls = []
 
     class FakeModel:
-        def step(self, mesh):
+        def step(self, mesh, integrated=True):
             def fn(batch):
                 calls.append(1)
                 return {"out": batch["x"] * 2.0}

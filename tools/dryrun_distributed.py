@@ -57,7 +57,12 @@ def run_worker(process_id: int, num_processes: int, coordinator: str,
     model, batch = _build_model_and_batch()
     path = distributed.run_process_segment(
         model, batch, out_dir, "dryrun", n_spectral=N_SPECTRAL)
-    print(f"worker {process_id}: wrote {path}", flush=True)
+    # Spectrally-resolved segment: exercises the cross-process tiled
+    # all_gather along the wavenumber axis (the spectral-output path).
+    path_s = distributed.run_process_segment(
+        model, batch, out_dir, "dryrun_spec", n_spectral=N_SPECTRAL,
+        integrated=False)
+    print(f"worker {process_id}: wrote {path} and {path_s}", flush=True)
 
 
 def orchestrate(out_dir: str, timeout: float = 600.0) -> None:
@@ -87,29 +92,29 @@ def orchestrate(out_dir: str, timeout: float = 600.0) -> None:
     from grtcode_tpu.parallel.mesh import make_mesh
     import jax
 
-    combined = distributed.combine_column_segments(out_dir, "dryrun")
-
-    # Reference: the same step on this process's own devices (the driver
+    # Reference: the same steps on this process's own devices (the driver
     # runs us under --xla_force_host_platform_device_count=8).
     model, batch = _build_model_and_batch()
     devices = jax.devices()
     n_cols = max(len(devices) // N_SPECTRAL, 1)
     mesh = make_mesh(n_cols, N_SPECTRAL, devices=devices[:n_cols * N_SPECTRAL])
-    single = {k: np.asarray(v)
-              for k, v in model.step(mesh=mesh)(batch).items()}
-
-    for key, ref in single.items():
-        got = combined[key]
-        if got.shape != ref.shape:
-            raise AssertionError(f"{key}: shape {got.shape} != {ref.shape}")
-        if not np.array_equal(got, ref):
-            worst = np.abs(got - ref).max()
-            raise AssertionError(
-                f"{key}: combined segments differ from single-process run "
-                f"(max abs diff {worst:.3e})")
+    for name, integ in (("dryrun", True), ("dryrun_spec", False)):
+        combined = distributed.combine_column_segments(out_dir, name)
+        single = {k: np.asarray(v) for k, v in
+                  model.step(mesh=mesh, integrated=integ)(batch).items()}
+        for key, ref in single.items():
+            got = combined[key]
+            if got.shape != ref.shape:
+                raise AssertionError(
+                    f"{name}/{key}: shape {got.shape} != {ref.shape}")
+            if not np.array_equal(got, ref):
+                worst = np.abs(got - ref).max()
+                raise AssertionError(
+                    f"{name}/{key}: combined segments differ from "
+                    f"single-process run (max abs diff {worst:.3e})")
     print(f"distributed dryrun ok: {NUM_PROCESSES} processes x "
-          f"{DEVICES_PER_PROC} devices, segments byte-identical "
-          f"({', '.join(sorted(single))})", flush=True)
+          f"{DEVICES_PER_PROC} devices, integrated AND spectral segments "
+          f"byte-identical ({', '.join(sorted(single))})", flush=True)
 
 
 def main() -> None:

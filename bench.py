@@ -228,7 +228,7 @@ def make_step(lw_gas, sw_gas, solar):
     return step
 
 
-def sweep_batch(argv):
+def sweep_batch():
     """Run the bench at B in {16, 32, 64} in SUBPROCESSES (a failed
     native compile at a large B — the round-3 B=32 remote-compile crash —
     must not kill the sweep), falling back to --chunk 16 column chunking
@@ -254,8 +254,13 @@ def sweep_batch(argv):
                 print(f"sweep: {label} timed out", file=sys.stderr)
                 continue
             if proc.returncode == 0 and proc.stdout.strip():
-                data = json.loads(proc.stdout.strip().splitlines()[-1])
-                results[label] = data["value"]
+                try:
+                    data = json.loads(proc.stdout.strip().splitlines()[-1])
+                    results[label] = data["value"]
+                except (ValueError, KeyError) as e:
+                    print(f"sweep: {label}: unparseable output ({e})",
+                          file=sys.stderr)
+                    continue
                 print(f"sweep: {label}: {data['value'] / 1e6:.1f} M pts/s",
                       file=sys.stderr)
                 break
@@ -290,7 +295,7 @@ def main():
                          "the best")
     opts = ap.parse_args()
     if opts.sweep_batch:
-        sweep_batch(sys.argv)
+        sweep_batch()
         return
 
     import jax

@@ -126,7 +126,8 @@ class RadiationDriver:
         return emis, albedo
 
     def run(self, atm: Atmosphere, integrated: bool = True,
-            mesh=None, column_chunk: int | None = None) -> FluxResults:
+            mesh=None, column_chunk: int | None = None,
+            col_index=None) -> FluxResults:
         """Compute all applicable sky tiers for the batch.
 
         With ``mesh`` (a (columns x spectral) jax Mesh, parallel.make_mesh),
@@ -142,7 +143,14 @@ class RadiationDriver:
         so no extra compile), and results concatenate on the host —
         the TPU equivalent of the reference looping columns serially
         (driver.c:680-713) with a device-sized stride.
+
+        ``col_index`` carries each column's GLOBAL id into the stochastic
+        cloud keys (defaults to arange(batch)); the chunk recursion
+        passes slices of it down so a chunked cloudy run reproduces the
+        unchunked run's subcolumn realizations exactly.
         """
+        ids = (np.arange(atm.batch) if col_index is None
+               else np.asarray(col_index))
         if column_chunk is not None and atm.batch > column_chunk:
             parts = []
             for lo in range(0, atm.batch, column_chunk):
@@ -151,7 +159,7 @@ class RadiationDriver:
                 if n_pad:
                     idx = np.concatenate([idx, np.repeat(idx[:1], n_pad)])
                 r = self.run(atm.subset(idx), integrated=integrated,
-                             mesh=mesh)
+                             mesh=mesh, col_index=ids[idx])
                 parts.append((r, column_chunk - n_pad))
             tiers = {
                 t: {k: np.concatenate(
@@ -213,8 +221,8 @@ class RadiationDriver:
             cloud_args = {
                 # Global column ids: subcolumn RNG keys fold these in, so
                 # each column's cloud realization is independent of how
-                # the batch is sharded over the mesh.
-                "col_index": jnp.arange(atm.batch, dtype=jnp.int32),
+                # the batch is sharded over the mesh OR chunked.
+                "col_index": jnp.asarray(ids, jnp.int32),
                 "cloud_fraction": jnp.asarray(atm.cloud_fraction, f32),
                 "liquid_water_content": jnp.asarray(
                     atm.liquid_water_content, f32),

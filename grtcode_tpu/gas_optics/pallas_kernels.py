@@ -778,9 +778,11 @@ def accumulate_voigt_pallas(prep, c0, ns, ranges: ChunkRanges, *,
       ranges: :class:`ChunkRanges` global per-tile tables from
         :func:`build_chunk_ranges`.
       hw: STATIC near-window half-width in grid points (the unroll
-        length; pass the band maximum so all molecules share one
-        compiled kernel — fsteps/near are dynamic scalars and mask any
-        extra offsets).
+        length).  The production caller passes each molecule's own hw
+        (gas_optics.py: padding every molecule to the band maximum costs
+        ~2% whole-bench in wasted masked offsets); molecules SHARING an
+        hw still share one compiled kernel because ``near`` is a dynamic
+        scalar.
       start: traced global index of the output block (tile-aligned).
 
     Returns (rows, num_wpoints) accumulated into ``tau0`` if given.

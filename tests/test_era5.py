@@ -122,6 +122,14 @@ def test_lw_only_run_and_segments(era5_file, ghg_file, tmp_path):
     np.testing.assert_allclose(
         p.transpose(0, 2, 3, 1).reshape(-1, Z),
         atm_full.level_pressure, rtol=1e-6)
+    # Variables unwritten in every segment (the LW-only run's SW set)
+    # stay define-only in the merged file: fill values, zero storage —
+    # the combiner must NOT densify them (a production spectral SW
+    # variable would be hundreds of GB of fill).
+    from grtcode_tpu.utils.ncio import Writer
+    with h5py.File(merged, "r") as f:
+        assert f["rsutaf"].id.get_storage_size() == 0
+        assert np.all(np.asarray(f["rsutaf"]) == Writer.FILL_VALUE)
 
 
 def test_output_variable_surface(era5_file, ghg_file, tmp_path):

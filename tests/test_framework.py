@@ -187,6 +187,46 @@ def test_column_chunked_run_matches(driver, atm):
                 rtol=2e-6, atol=1e-6, err_msg=f"{tier}/{var}")
 
 
+def test_column_chunked_cloudy_preserves_realizations(driver, atm):
+    """Chunked CLOUDY runs must reproduce the unchunked run's stochastic
+    subcolumn realizations: the recursion threads each column's GLOBAL
+    id into the cloud keys, so the key for column j cannot restart at
+    the chunk origin."""
+    import dataclasses
+
+    from grtcode_tpu.clouds.lib import CloudOpticsLib
+    from tests.test_clouds import synthetic_pade_table
+
+    B = 5
+    nlay = atm.num_layers
+    rng = np.random.default_rng(3)
+    big = dataclasses.replace(
+        atm.subset(np.zeros(B, int)),
+        clear=False,
+        cloud_fraction=rng.uniform(0.3, 0.9, (B, nlay)),
+        liquid_water_content=rng.uniform(0.0, 0.3, (B, nlay)),
+        ice_water_content=rng.uniform(0.0, 0.02, (B, nlay)),
+        layer_thickness=np.full((B, nlay), 400.0))
+    drv = dataclasses.replace(
+        driver,
+        cloud_optics=CloudOpticsLib(
+            liquid=synthetic_pade_table(nbnd=8, w0=1.0, wn=50000.0,
+                                        seed=0),
+            ice=synthetic_pade_table(nbnd=8, w0=1.0, wn=50000.0,
+                                     seed=1)).driver_callback())
+    full = drv.run(big, integrated=True)
+    chunked = drv.run(big, integrated=True, column_chunk=2)
+    for var in ("rlu", "rld", "rsu", "rsd"):
+        np.testing.assert_allclose(
+            np.asarray(chunked.tiers["af"][var]),
+            np.asarray(full.tiers["af"][var]),
+            rtol=2e-6, atol=1e-6, err_msg=var)
+    # The all-sky tier must genuinely differ from clear sky (the clouds
+    # are real, so identical-by-vacuity cannot pass this test).
+    assert not np.allclose(np.asarray(full.tiers["af"]["rlu"]),
+                           np.asarray(full.tiers["csaf"]["rlu"]))
+
+
 def test_disort_sw_solver_option(atm):
     """sw_solver="disort" swaps the 16-stream discrete-ordinates solver
     into the SW pass (the reference's --enable-disort build,

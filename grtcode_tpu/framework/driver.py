@@ -353,16 +353,18 @@ class RadiationDriver:
                     else jnp.zeros((1,), jnp.float32))
         S = 1 if mesh is None else mesh.shape[SPECTRAL_AXIS]
 
-        def _block(n, tile):
-            """ceil(n / S) rounded up to the gas-optics tile (tiled
-            accumulation requires tile-aligned block starts)."""
-            return -(-(-(-n // S)) // tile) * tile
+        def _block(n, quantum):
+            """ceil(n / S) rounded up to the gas-optics block quantum
+            (tile for the sampling methods, a whole bin group for the
+            Pallas bin methods — block starts must stay aligned)."""
+            return -(-(-(-n // S)) // quantum) * quantum
 
-        block_lw = lwg.n if mesh is None else _block(lwg.n, self.lw_gas.tile)
+        block_lw = (lwg.n if mesh is None
+                    else _block(lwg.n, self.lw_gas.block_quantum))
         block_sw = None
         if swg is not None:
             block_sw = (swg.n if mesh is None
-                        else _block(swg.n, self.sw_gas.tile))
+                        else _block(swg.n, self.sw_gas.block_quantum))
         sol_padded = (_pad_table(sol_full, block_sw)
                       if swg is not None and mesh is not None else sol_full)
 

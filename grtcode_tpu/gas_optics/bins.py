@@ -286,16 +286,26 @@ def accumulate_bins(center_idx, center_frac, strength, lorentz, doppler, ns,
 
 
 @partial(jax.jit, static_argnames=("ppb", "last_ppb", "do_interp",
-                                   "do_last_interp", "num_wpoints"))
+                                   "do_last_interp", "num_wpoints",
+                                   "last_bin"))
 def interpolate_bins(bins_tau, bin_l, bin_w_rel, *, ppb: int, last_ppb: int,
                      do_interp: bool, do_last_interp: bool,
-                     num_wpoints: int, tau):
+                     num_wpoints: int, tau, bin0=0,
+                     last_bin: int | None = None):
     """Quadratic bin-wing interpolation onto the fine grid
     (kernels.c:514-581, kernel_utils.c:79-117), added into ``tau``.
 
     bins_tau: (rows, nbins, NIP); bin_w_rel: (nbins, NIP) grid units.
+
+    For a spectral BLOCK of bins, pass the block's rows of bins_tau /
+    bin_l / bin_w_rel plus ``bin0`` (the block's first global bin index,
+    may be traced) and ``last_bin`` (the band's global last bin index,
+    static) so the last-bin interpolation switch lands on the right bin;
+    ``tau`` / ``num_wpoints`` are then block-local.
     """
     rows, nbins, _ = bins_tau.shape
+    if last_bin is None:
+        last_bin = nbins - 1
     pts = jnp.arange(ppb, dtype=jnp.float32)            # (ppb,)
     wrel = jnp.asarray(bin_w_rel, jnp.float32)
     bl = jnp.asarray(bin_l, jnp.float32)
@@ -323,7 +333,7 @@ def interpolate_bins(bins_tau, bin_l, bin_w_rel, *, ppb: int, last_ppb: int,
     vals = quad(p, y0, y1, y2) if do_interp else nearest(p, y0, y1, y2)
     if do_interp != do_last_interp:
         last = (nearest if do_interp else quad)(p, y0, y1, y2)
-        mask = jnp.arange(nbins) == nbins - 1
+        mask = jnp.asarray(bin0, jnp.int32) + jnp.arange(nbins) == last_bin
         vals = jnp.where(mask[None, :, None], last, vals)
     flat = vals.reshape(rows, nbins * ppb)[:, :num_wpoints]
     return tau + flat

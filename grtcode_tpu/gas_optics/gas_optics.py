@@ -31,6 +31,7 @@ from . import lines as lines_mod
 from . import pallas_kernels as pk
 from . import tips as tips_mod
 from . import bins as bins_mod
+from . import bins_pallas as bp
 from .continua import OzoneContinuum, WaterVaporContinuum
 from .hitran import LineCatalog, parse_par_file
 from .molecules import MoleculeId
@@ -63,6 +64,7 @@ class GasOptics:
     #     (kernels.c:306-406).
     method: str = "tiled"
     bin_width: float = 1.0     # [cm-1] for the bin-interpolated methods
+    bin_group: int = 8         # bins per Pallas bin-kernel grid step
     tile: int = 64             # spectral tile width for the tiled method
     tile_lchunk: int = 128     # lines per jnp tiled reduction step
     pallas: str = "auto"       # "auto" | "on" | "off" | "interpret"
@@ -107,7 +109,28 @@ class GasOptics:
         self.bins = bins_mod.create_spectral_bins(
             self.grid.n, self.grid.w0, self.grid.dw, self.bin_width)
         self._bin_ranges_cache = {}
+        self._bin_tables_cache = {}
         self._raw_bounds = {}
+        # Interpolation-point table for the Pallas bin path, padded to the
+        # group multiple with SAFE rows ([0, 1, 2]: nonzero x1/x2 so the
+        # quadratic interp of the zero-coarse padded bins yields zeros,
+        # never 0/0).
+        nb_pad = -(-self.bins.n // self.bin_group) * self.bin_group
+        wrel = ((self.bins.w - self.grid.w0) / self.grid.dw).astype(
+            np.float32)
+        pad = np.tile(np.arange(bins_mod.NIP, dtype=np.float32),
+                      (nb_pad - self.bins.n, 1))
+        self._wrel_pad = np.concatenate([wrel, pad], axis=0)
+
+    @property
+    def block_quantum(self) -> int:
+        """Spectral-block alignment unit: the bin-kernel block unit is a
+        whole group of bins (each block is then self-contained); the
+        sampling methods need tile alignment."""
+        if self.method in ("wavenumber_sweep", "line_sweep") and \
+                self._use_pallas():
+            return self.bins.ppb * self.bin_group
+        return self.tile
 
     @property
     def _fsteps(self) -> int:
@@ -129,6 +152,25 @@ class GasOptics:
                 self._raw_bounds[mol_id], self.bins, mode=mode,
                 remote_cutoff=self.wcutoff)
         return self._bin_ranges_cache[key]
+
+    def _get_bin_tables(self, mol_id: int):
+        """Pallas bin-kernel chunk/range tables (host, cached)."""
+        key = (mol_id, self.method)
+        if key not in self._bin_tables_cache:
+            padded = self.molecules[mol_id]
+            # Guaranteed minimum remote-line distance from any evaluation
+            # point of its bin [grid points]: bin_sweep remote lines sit
+            # beyond the +-nbin_local bin window; line_sweep beyond the
+            # local_cutoff wavenumber window (bins.build_bin_ranges).
+            gap = (1 * self.bin_width if self.method == "wavenumber_sweep"
+                   else 1.5) / self.grid.dw
+            self._bin_tables_cache[key] = bp.build_bin_kernel_tables(
+                self._get_bin_ranges(mol_id), self.bins, padded,
+                ch=self.pallas_ch, G=self.bin_group,
+                region0_hw=lines_mod.region0_halfwidth(padded,
+                                                       self.grid.dw),
+                min_gap_points=gap)
+        return self._bin_tables_cache[key]
 
     # -- registration (host side, mirrors add_molecule/add_cfc/add_cia) ----
     def add_molecule(self, mol_id, min_line_center: float | None = None,
@@ -237,17 +279,39 @@ class GasOptics:
         tau = jnp.zeros((rows, nw), jnp.float32)
 
         bin_method = self.method in ("wavenumber_sweep", "line_sweep")
+        bin_pallas = bin_method and self._use_pallas()
         bins_tau = None
         tau_bins = None
-        if bin_method:
-            # Bins span the whole band, so under a spectral block the
-            # full-band bin pipeline runs and the block slices out at the
-            # end (correctness-first sharding for the two alternate
-            # methods; the production driver uses line_sample,
-            # framework/src/driver.c:618).
+        if bin_pallas:
+            # Fused Pallas bin kernel: a spectral block maps to a
+            # contiguous group of bins and is fully self-contained
+            # (every fine point and coarse triple of the block receives
+            # all its line contributions), so per-block cost is exactly
+            # the block's share of the band — no band-global pass.
+            ppb = self.bins.ppb
+            if block_size is not None:
+                if block_size % (ppb * self.bin_group):
+                    raise ValueError(
+                        f"bin-method block_size {block_size} must be a "
+                        f"multiple of block_quantum "
+                        f"{ppb * self.bin_group}")
+                nbins_blk = block_size // ppb
+            else:
+                nbins_blk = self.bins.n
+            start_bin = (0 if block_start is None
+                         else jnp.asarray(start, jnp.int32) // ppb)
+            nfine = nbins_blk * ppb
+            tau_bins = jnp.zeros((rows, nfine), jnp.float32)
+            bins_tau = jnp.zeros((rows, nbins_blk, bins_mod.NIP),
+                                 jnp.float32)
+        elif bin_method:
+            # jnp fallback: bins span the whole band, so under a spectral
+            # block the full-band bin pipeline runs and the block slices
+            # out at the end (correctness-first for the CPU path).
             bins_tau = jnp.zeros((rows, self.bins.n, bins_mod.NIP),
                                  jnp.float32)
             tau_bins = jnp.zeros((rows, self.grid.n), jnp.float32)
+        if bin_method:
             bin_w_rel = ((self.bins.w - self.grid.w0)
                          / self.grid.dw).astype(np.float32)
 
@@ -258,7 +322,9 @@ class GasOptics:
             prep = lines_mod.prepare(bound, self.grid, pavg, tavg, psavg,
                                      tips=self.tips)
             use_pallas = self._use_pallas()
-            if not (use_pallas and self.method in ("tiled", "line_sample")):
+            if not (use_pallas
+                    and (self.method in ("tiled", "line_sample")
+                         or bin_method)):
                 # Materialize the (rows, L) prep arrays: without a barrier
                 # XLA fuses the prep math (exp/pow per line) into the
                 # near-core pass's gathers, recomputing it per (grid
@@ -270,7 +336,14 @@ class GasOptics:
                     *jax.lax.optimization_barrier(
                         (prep.center_idx, prep.center_frac, prep.strength,
                          prep.lorentz, prep.doppler)))
-            if bin_method:
+            if bin_pallas:
+                tau_bins, bins_tau = bp.accumulate_bins_pallas(
+                    prep, bound.c0, ns, self._get_bin_tables(mol_id),
+                    ppb=self.bins.ppb, dw=float(self.grid.dw),
+                    start_bin=start_bin, nbins_block=nbins_blk,
+                    tau0=tau_bins, bins_tau0=bins_tau, ch=self.pallas_ch,
+                    interpret=self.pallas == "interpret")
+            elif bin_method:
                 br = self._get_bin_ranges(mol_id)
                 tau_bins, bins_tau = bins_mod.accumulate_bins(
                     prep.center_idx, prep.center_frac, prep.strength,
@@ -358,7 +431,28 @@ class GasOptics:
             tau = tau + n_sq.reshape(rows)[:, None] * \
                 spectral(table.cross_section)[None, :]
 
-        if bin_method:
+        if bin_pallas:
+            # Block-local wing interpolation: each bin needs only its own
+            # coarse triple, so the block interpolates independently
+            # after ALL absorbers (launch.c:211-218).
+            wrel_dev = jnp.concatenate([
+                jnp.asarray(self._wrel_pad),
+                jnp.broadcast_to(
+                    jnp.arange(bins_mod.NIP, dtype=jnp.float32),
+                    (nbins_blk, bins_mod.NIP))])
+            wrel_blk = jax.lax.dynamic_slice_in_dim(
+                wrel_dev, jnp.asarray(start_bin, jnp.int32), nbins_blk)
+            bl_blk = (jnp.asarray(start_bin, jnp.int32)
+                      + jnp.arange(nbins_blk, dtype=jnp.int32)) \
+                * self.bins.ppb
+            tau_bins = bins_mod.interpolate_bins(
+                bins_tau, bl_blk, wrel_blk, ppb=self.bins.ppb,
+                last_ppb=self.bins.last_ppb, do_interp=self.bins.do_interp,
+                do_last_interp=self.bins.do_last_interp,
+                num_wpoints=nfine, tau=tau_bins, bin0=start_bin,
+                last_bin=self.bins.n - 1)
+            tau = tau + tau_bins[:, :nw]
+        elif bin_method:
             # Interpolate the accumulated line wings onto the fine grid
             # after ALL absorbers (launch.c:211-218), then slice the
             # active spectral block out of the band-global result.

@@ -86,7 +86,7 @@ def _round_up(x: int, m: int) -> int:
 
 
 def far_channels(prep, c0, ns, *, dw: float, num_global: int, lpad: int,
-                 rpad: int):
+                 rpad: int, keep_offgrid: bool = False):
     """Precompute the (NCH, lpad, rpad) channel stack (XLA, fused).
 
     Args:
@@ -117,9 +117,15 @@ def far_channels(prep, c0, ns, *, dw: float, num_global: int, lpad: int,
     a0 = yq + 0.5
     d0 = a0 * a0
     d2 = yq + yq - 1.0
-    valid = (center_idx >= 0) & (center_idx < num_global)
     c0b = jnp.broadcast_to(jnp.asarray(c0, jnp.int32)[None, :], (rows, L))
-    c0_f = jnp.where(valid, c0b.astype(jnp.float32), -1e9)
+    if keep_offgrid:
+        # Bin-method use: line validity is decided by host index ranges,
+        # not grid bounds — lines just outside the band still contribute
+        # wings (kernels.c brackets on centers, not grid coverage).
+        c0_f = c0b.astype(jnp.float32)
+    else:
+        valid = (center_idx >= 0) & (center_idx < num_global)
+        c0_f = jnp.where(valid, c0b.astype(jnp.float32), -1e9)
     # Unrounded shifted center, relative to c0 (grid units): the rounding
     # adjustment adj = center_idx - c0 is a small integer, exact in f32.
     ftot = center_frac + (center_idx - c0b).astype(jnp.float32)

@@ -28,6 +28,11 @@ def main():
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--no-near", action="store_true",
                     help="far wings only (include_near=False)")
+    ap.add_argument("--method", default="line_sample",
+                    choices=["line_sample", "wavenumber_sweep",
+                             "line_sweep"])
+    ap.add_argument("--bin-group", type=int, default=8,
+                    help="bins per bin-kernel grid step (multiple of 8)")
     args = ap.parse_args()
 
     import jax
@@ -58,7 +63,9 @@ def main():
     if args.layout:
         kw["pallas_layout"] = args.layout
     gas = GasOptics(grid, line_chunk=1024, tile=args.tile,
-                    pallas_ch=args.ch, **kw)
+                    pallas_ch=args.ch, method=("tiled" if args.method ==
+                    "line_sample" else args.method),
+                    bin_group=args.bin_group, **kw)
     gas.add_catalog(cat)
 
     p = np.linspace(0.01, 1013.0, nlev)[None] * np.ones((B, 1))
@@ -85,7 +92,8 @@ def main():
     float(chain)
     dt = (time.perf_counter() - t0) / args.iters
     pts = B * nlayers * grid.n
-    print(f"layout={args.layout or gas.pallas_layout} tile={args.tile} "
+    print(f"method={args.method} layout={args.layout or gas.pallas_layout} "
+          f"tile={args.tile} G={args.bin_group} "
           f"ch={args.ch}: {dt * 1e3:.1f} ms/step, "
           f"{pts / dt / 1e6:.1f} M pts/s")
 

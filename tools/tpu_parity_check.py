@@ -56,6 +56,18 @@ def main() -> int:
             f(jnp.asarray(p, jnp.float32), jnp.asarray(t, jnp.float32),
               {1: jnp.asarray(vmr[1], jnp.float32)})))
 
+    def tau_bins(pallas_mode, block=None):
+        gas = GasOptics(grid, line_chunk=256, pallas=pallas_mode,
+                        method="wavenumber_sweep")
+        gas.add_catalog(cat)
+        kw = {}
+        if block is not None:
+            kw = dict(block_start=block[0], block_size=block[1])
+        f = jax.jit(lambda p_, t_, v_: gas.optical_depth(p_, t_, v_, **kw))
+        return np.asarray(jax.block_until_ready(
+            f(jnp.asarray(p, jnp.float32), jnp.asarray(t, jnp.float32),
+              {1: jnp.asarray(vmr[1], jnp.float32)})))
+
     failures = 0
     for block in (None, (0, 512), (512, 512), (1536, 512)):
         on = tau("on", block)
@@ -64,6 +76,23 @@ def main() -> int:
         rel = (np.abs(on - off) / denom).max()
         label = "full grid" if block is None else f"block {block}"
         ok = rel <= RTOL
+        print(f"{label}: max rel diff {rel:.3e} "
+              f"{'ok' if ok else 'FAIL'}", flush=True)
+        failures += 0 if ok else 1
+
+    # Bin-method (wavenumber_sweep) compiled kernel vs jnp ground truth.
+    # Block starts must align to the Pallas path's bin-group quantum
+    # (ppb * bin_group = 88 here); the relative tolerance is wider than
+    # line_sample's because the coarse-wing sums feed the quadratic
+    # interpolation, which amplifies pairwise/approx-recip rounding.
+    for block in (None, (0, 880), (880, 880)):
+        on = tau_bins("on", block)
+        off = tau_bins("off", block)
+        denom = np.maximum(np.abs(off), 1e-7)
+        rel = (np.abs(on - off) / denom).max()
+        label = ("bins full grid" if block is None
+                 else f"bins block {block}")
+        ok = rel <= 2e-5
         print(f"{label}: max rel diff {rel:.3e} "
               f"{'ok' if ok else 'FAIL'}", flush=True)
         failures += 0 if ok else 1

@@ -71,8 +71,18 @@ LW_LINES = {1: 60000, 2: 100000, 3: 120000, 4: 30000, 6: 50000,
 SW_LINES = {1: 40000, 2: 10000, 3: 10000, 7: 4000}
 
 
-def build(smoke: bool = False, batch_size: int | None = None):
-    """The benchmark model + batch; ``smoke`` shrinks everything for CI."""
+def build(smoke: bool = False, batch_size: int | None = None,
+          lw_method: str = "line_sample", lw_res: float = 0.1):
+    """The benchmark model + batch; ``smoke`` shrinks everything for CI.
+
+    ``lw_method`` selects the LW gas-optics method (line_sample is the
+    exact per-point reference method; wavenumber_sweep is the 3-point
+    bin-wing method, ~3x fewer wing evaluations at 0.1 cm-1 and ~30x at
+    0.01).  SW stays line_sample: at its 1 cm-1 resolution a bin holds
+    only 2 fine points, so binned wings would do MORE work, not less —
+    the same asymmetry the reference exploits by choosing -w per run.
+    ``lw_res`` sets the LW grid resolution [cm-1] (north-star production
+    is 0.01: 324 901 points over 1-3250)."""
     import jax.numpy as jnp
     from grtcode_tpu.spectral import SpectralGrid
     from grtcode_tpu.gas_optics.continua import (OzoneContinuum,
@@ -84,7 +94,7 @@ def build(smoke: bool = False, batch_size: int | None = None):
     from grtcode_tpu import constants
 
     shrink = 64 if smoke else 1
-    lw_grid = SpectralGrid(1.0, 3250.0, 0.1 * (8 if smoke else 1))
+    lw_grid = SpectralGrid(1.0, 3250.0, lw_res * (8 if smoke else 1))
     sw_grid = SpectralGrid(1.0, 50000.0, 1.0 * (8 if smoke else 1))
     # B=32 measured fastest on v5e (--sweep-batch: 60.2M @16, 64.1M @32,
     # 60.3M @64-chunked; 64 in one launch exceeds HBM).
@@ -134,7 +144,7 @@ def build(smoke: bool = False, batch_size: int | None = None):
 
     lw_h2o, lw_o3 = continua(lw_grid)
     lw_gas = GasOptics(lw_grid, line_chunk=1024, h2o_ctm=lw_h2o,
-                       o3_ctm=lw_o3)
+                       o3_ctm=lw_o3, method=lw_method)
     for seed, (mol, L) in enumerate(LW_LINES.items()):
         lw_gas.add_catalog(catalog(mol, lw_grid, max(64, L // shrink), seed))
     xsec_tables(lw_gas, lw_grid)
@@ -175,7 +185,7 @@ def build(smoke: bool = False, batch_size: int | None = None):
     return lw_gas, sw_gas, solar, batch, B, nlayers
 
 
-def make_step(lw_gas, sw_gas, solar):
+def make_step(lw_gas, sw_gas, solar, lw_blocks: int = 1):
     import jax
     import jax.numpy as jnp
     from grtcode_tpu import constants
@@ -183,11 +193,20 @@ def make_step(lw_gas, sw_gas, solar):
     from grtcode_tpu.solvers.rayleigh import rayleigh_tau
     from grtcode_tpu.solvers.shortwave import shortwave_fluxes
     from grtcode_tpu.utils import curtis_godson as cg
-    from grtcode_tpu.utils.interp import trapezoid_uniform
+    from grtcode_tpu.utils.interp import (block_trapezoid_weights,
+                                          trapezoid_uniform)
 
     w_lw = lw_gas.grid.wavenumbers()
     w_sw = sw_gas.grid.wavenumbers()
     f32 = jnp.float32
+    # Spectral streaming (SURVEY hard-part #4: never materialize the full
+    # band tau at production resolution): process the LW band in
+    # lw_blocks quantum-aligned spectral blocks inside ONE compiled step,
+    # accumulating exact per-block trapezoid-weighted integrals.
+    q = lw_gas.block_quantum
+    nw_lw = lw_gas.grid.n
+    blk_lw = -(-(-(-nw_lw // lw_blocks)) // q) * q
+    nblk = -(-nw_lw // blk_lw)
 
     @jax.jit
     def step(p_lev, t_lev, vmr, cfc_vmr, cia_vmr, mu, tsi, chain):
@@ -201,14 +220,38 @@ def make_step(lw_gas, sw_gas, solar):
         ciaf = {k: jnp.asarray(v, f32) * 1e-6 for k, v in cia_vmr.items()}
         t_layers = 0.5 * (t_lev[:, :-1] + t_lev[:, 1:])
         t_surf = t_lev[:, -1] + 1.5
+        B_ = p_lev.shape[0]
 
-        tau_lw = lw_gas.optical_depth(p_lev, t_lev, vmrf, cfc_vmr=cfcf,
-                                      cia_vmr=ciaf)
-        flu, fld = longwave_fluxes(
-            tau_lw, jnp.zeros_like(tau_lw), t_surf, t_layers, t_lev,
-            jnp.ones((p_lev.shape[0], w_lw.shape[0]), f32), w_lw)
-        rlu = trapezoid_uniform(flu, lw_gas.grid.dw)
-        rld = trapezoid_uniform(fld, lw_gas.grid.dw)
+        if nblk == 1:
+            tau_lw = lw_gas.optical_depth(p_lev, t_lev, vmrf, cfc_vmr=cfcf,
+                                          cia_vmr=ciaf)
+            flu, fld = longwave_fluxes(
+                tau_lw, jnp.zeros_like(tau_lw), t_surf, t_layers, t_lev,
+                jnp.ones((B_, w_lw.shape[0]), f32), w_lw)
+            rlu = trapezoid_uniform(flu, lw_gas.grid.dw)
+            rld = trapezoid_uniform(fld, lw_gas.grid.dw)
+        else:
+            def body(i, acc):
+                start = i * blk_lw
+                tau_b = lw_gas.optical_depth(
+                    p_lev, t_lev, vmrf, cfc_vmr=cfcf, cia_vmr=ciaf,
+                    block_start=start, block_size=blk_lw)
+                wb = jnp.float32(lw_gas.grid.w0) + \
+                    jnp.float32(lw_gas.grid.dw) * (
+                        start + jnp.arange(blk_lw, dtype=jnp.int32)
+                    ).astype(f32)
+                flu, fld = longwave_fluxes(
+                    tau_b, jnp.zeros_like(tau_b), t_surf, t_layers, t_lev,
+                    jnp.ones((B_, blk_lw), f32), wb)
+                wts = block_trapezoid_weights(start, blk_lw, nw_lw,
+                                              lw_gas.grid.dw)
+                return (acc[0] + (flu * wts).sum(-1),
+                        acc[1] + (fld * wts).sum(-1))
+
+            nlev_ = p_lev.shape[1]
+            rlu, rld = jax.lax.fori_loop(
+                0, nblk, body, (jnp.zeros((B_, nlev_), f32),
+                                jnp.zeros((B_, nlev_), f32)))
 
         sw_vmr = {k: v for k, v in vmrf.items() if k in sw_gas.molecules}
         tau_sw = sw_gas.optical_depth(p_lev, t_lev, sw_vmr, cfc_vmr=cfcf,
@@ -293,6 +336,18 @@ def main():
     ap.add_argument("--sweep-batch", action="store_true",
                     help="benchmark B in {16,32,64} (subprocesses), report "
                          "the best")
+    ap.add_argument("--method", default="line_sample",
+                    choices=["line_sample", "wavenumber_sweep",
+                             "line_sweep"],
+                    help="LW gas-optics method (SW stays line_sample: "
+                         "binned wings lose at 1 cm-1 resolution)")
+    ap.add_argument("--lw-res", type=float, default=0.1,
+                    help="LW grid resolution [cm-1] (production north "
+                         "star: 0.01)")
+    ap.add_argument("--lw-blocks", type=int, default=None,
+                    help="stream the LW band in this many spectral "
+                         "blocks inside one step (default: 1 at 0.1 "
+                         "cm-1, sized for ~32k-point blocks below)")
     opts = ap.parse_args()
     if opts.sweep_batch:
         sweep_batch()
@@ -308,14 +363,24 @@ def main():
     print(f"bench device: {dev.platform} ({dev.device_kind})",
           file=sys.stderr)
 
-    lw_gas, sw_gas, solar, batch, B, nlayers = build(smoke, opts.batch)
+    mth = ("line_sample" if opts.method == "line_sample" else opts.method)
+    lw_gas, sw_gas, solar, batch, B, nlayers = build(
+        smoke, opts.batch, lw_method=mth, lw_res=opts.lw_res)
     chunk = opts.chunk if opts.chunk and opts.chunk < B else None
+    lw_blocks = opts.lw_blocks
+    if lw_blocks is None:
+        # Stream once the band outgrows ~40k points (0.01 cm-1 regime);
+        # the default 0.1 config keeps the proven single-block step.
+        lw_blocks = max(1, -(-lw_gas.grid.n // 32768)) \
+            if lw_gas.grid.n > 40000 else 1
     n_lines = sum(int(m.num_lines) for m in lw_gas.molecules.values()) + \
         sum(int(m.num_lines) for m in sw_gas.molecules.values())
     print(f"catalog: {n_lines} lines, B={B}, layers={nlayers}, "
-          f"lw n={lw_gas.grid.n}, sw n={sw_gas.grid.n}"
+          f"lw n={lw_gas.grid.n} ({opts.method}"
+          + (f", {lw_blocks} blocks" if lw_blocks > 1 else "")
+          + f"), sw n={sw_gas.grid.n}"
           + (f", chunk={chunk}" if chunk else ""), file=sys.stderr)
-    step_fn = make_step(lw_gas, sw_gas, solar)
+    step_fn = make_step(lw_gas, sw_gas, solar, lw_blocks=lw_blocks)
 
     def slice_args(lo, hi):
         def cut(a):
@@ -365,6 +430,22 @@ def main():
     rows = B * nlayers
     for gas in (lw_gas, sw_gas):
         fsteps = gas._fsteps
+        if gas.method in ("wavenumber_sweep", "line_sweep"):
+            # Bin-method model from the EXACT host range tables: every
+            # remote (line, bin) pair evaluates NIP coarse points (~10
+            # VPU ops each in the pairwise region-0 path) and every
+            # local (line, bin) pair evaluates ppb fine points (~22 ops
+            # cheap select; corrections modeled at ~1 extra full eval
+            # per local line).
+            import grtcode_tpu.gas_optics.bins as bins_mod
+            for mol_id in gas.molecules:
+                br = gas._get_bin_ranges(mol_id)
+                remote = float((br.rem_cnt_l + br.rem_cnt_r).sum()) \
+                    * bins_mod.NIP
+                local = float(br.local_cnt.sum()) * gas.bins.ppb
+                flops += rows * (remote * 10 + local * 22
+                                 + float(br.local_cnt.sum()) * 300)
+            continue
         for mol_id, bound in gas.molecules.items():
             L = int(bound.num_lines)
             hw = gas.near_hw[mol_id]
@@ -398,6 +479,13 @@ def main():
         "unit": "column*layer*wavenumber points/s (LW+SW)",
         "vs_baseline": value / REF_POINTS_PER_S,
     }
+    if opts.method != "line_sample":
+        result["lw_method"] = opts.method
+    if opts.lw_res != 0.1:
+        # vs_baseline compares against the reference's 0.1+1.0 cm-1
+        # production config; at other resolutions it is indicative only.
+        result["lw_res"] = opts.lw_res
+        result["lw_points"] = lw_gas.grid.n
     print(f"{iters} steps in {elapsed:.3f}s "
           f"({elapsed / iters * 1e3:.0f} ms/step)", file=sys.stderr)
     if flops > 0:

@@ -299,13 +299,12 @@ def main(argv=None):
     hitran = None if args.hitran_file in ("none", "-") else args.hitran_file
     driver = build_driver(hitran_path=hitran, lw_grid=lw_grid,
                           sw_grid=sw_grid, wcutoff=args.line_cutoff)
-    if args.h2o_ctm and hitran:
-        from ..gas_optics.continua import WaterVaporContinuum
-        driver.lw_gas.h2o_ctm = WaterVaporContinuum.from_directory(
-            args.h2o_ctm, lw_grid)
-    if args.o3_ctm and hitran:
-        from ..gas_optics.continua import OzoneContinuum
-        driver.lw_gas.o3_ctm = OzoneContinuum.from_file(args.o3_ctm, lw_grid)
+    if hitran:
+        # Continua + any CFC/CIA cross-section CSVs named on the command
+        # line, on both bands (driver.c:193-210, 616-625).
+        cli.register_cross_sections(
+            driver, args, cfc_options=("CFC-11", "CFC-12", "CCl4"),
+            cia_pairs={name: pair for pair, name in CIA_PAIRS.items()})
     if args.clouds:
         from ..clouds import CloudOpticsLib, PadeCloudOptics
         driver.cloud_optics = CloudOpticsLib(

@@ -263,6 +263,13 @@ def main(argv=None):
     hitran = None if args.hitran_file in ("none", "-") else args.hitran_file
     driver = build_driver(hitran_path=hitran, lw_grid=lw_grid,
                           sw_grid=sw_grid, wcutoff=args.line_cutoff)
+    if hitran:
+        # Continua + CFC/CIA cross-section CSVs on both bands
+        # (driver.c:193-210, 616-625); -eq aliases load the same table
+        # under the equivalent species id (rfmip-irf.c:343-370).
+        cli.register_cross_sections(driver, args,
+                                    cfc_options=tuple(CFC_VARS),
+                                    cia_pairs=CIA_PAIRS)
     res = driver.run(atm, integrated=args.integrated,
                      mesh=cli.mesh_from_args(args))
     write_fluxes(args.output, res, atm.level_pressure, x=args.x,

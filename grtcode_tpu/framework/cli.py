@@ -99,3 +99,46 @@ def add_gas_flags(p: argparse.ArgumentParser, molecules, cfcs=(), cias=()):
         p.add_argument(f"-{name}", dest=name.replace("-", "_"),
                        nargs="?", const=True, default=False,
                        help=f"Include {name} collision-induced absorption.")
+
+
+def register_cross_sections(driver, args, cfc_options=(),
+                            cia_pairs=None) -> None:
+    """Load the continuum / cross-section data files named on the command
+    line into BOTH bands' gas optics, mirroring the reference's
+    create_gas_optics + add_molecules wiring (framework/src/driver.c:
+    616-625 passes h2o_ctm/o3_ctm to both bands; :193-210 adds every
+    -<CFC> CSV and -<CIA> CSV to each GasOptics_t).
+
+    ``cfc_options``: iterable of CLI option names (e.g. "CFC-11",
+    "CFC-11-eq"); a flag whose value is a path loads that CSV (a bare
+    flag just enables the species' abundance, table-less).
+    ``cia_pairs``: {option name -> (CiaId, CiaId)}.
+    """
+    from ..gas_optics.molecules import CfcId
+
+    gases = [g for g in (driver.lw_gas, driver.sw_gas) if g is not None]
+    if getattr(args, "h2o_ctm", None):
+        from ..gas_optics.continua import WaterVaporContinuum
+
+        for g in gases:
+            g.h2o_ctm = WaterVaporContinuum.from_directory(
+                args.h2o_ctm, g.grid)
+    if getattr(args, "o3_ctm", None):
+        from ..gas_optics.continua import OzoneContinuum
+
+        for g in gases:
+            g.o3_ctm = OzoneContinuum.from_file(args.o3_ctm, g.grid)
+    for opt in cfc_options:
+        val = getattr(args, opt.replace("-", "_"), False)
+        if not isinstance(val, str):
+            continue
+        base = opt[:-3] if opt.endswith("-eq") else opt
+        cfc_id = CfcId[base.replace("-", "")]
+        for g in gases:
+            g.add_cfc(cfc_id, val)
+    for opt, pair in (cia_pairs or {}).items():
+        val = getattr(args, opt.replace("-", "_"), False)
+        if not isinstance(val, str):
+            continue
+        for g in gases:
+            g.add_cia(pair[0], pair[1], val)

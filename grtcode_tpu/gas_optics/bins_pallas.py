@@ -18,30 +18,22 @@ positions, same Humlicek region scheme — restructured for the TPU:
     (G*NIP, rblock) coarse wing block.  Neighbouring bins share ~95% of
     their +-25-bin line reach, so grouping streams each line chunk from
     HBM once per G bins instead of once per bin.
-  * Lines stream as CH-line chunks of a 12-channel (lines, rows) stack —
-    the line_sample kernel's 10 channels (far_channels) plus the
-    per-line local target-bin range [binlo, binhi] — with two
+  * Lines stream as CH-line chunks of the same (NCH, lines, rows)
+    channel stack the line_sample kernel uses (far_channels), with two
     overlapping DMAs.
-  * **Coarse wings.**  Chunks are host-classified per group:
+  * Chunks are host-classified per group:
       - *interior*: every line is inside every group bin's remote range
         and beyond the region-0 distance of every evaluation point —
         pure-rational K = snum0/(xq+yq) with NO masks, combined pairwise
-        (one reciprocal per two lines).  This is the bulk of the work.
+        (one reciprocal per two lines).  This is the bulk of the wing
+        work.
       - *general*: per-bin remote masks apply to the NUMERATOR only
-        (num -> 0 kills a line exactly; denominators stay unmasked,
-        capped so the pairwise product cannot overflow).
-  * **Local fine points.**  The same offset-window / one-hot-MXU design
-    as the line_sample kernel's near core: each line evaluates a static
-    window of 2*hw_loc+1 offsets around its unshifted grid index c0 and
-    the results are placed into the group's fine block with a one-hot
-    (lines x points) matmul.  The mask — target point's bin inside the
-    line's [binlo, binhi] — reproduces the host index-range
-    classification exactly (a target outside this group's block simply
-    matches no one-hot row, and is produced instead by the neighbouring
-    group, whose chunk stream also covers the line).  The cheap
-    regions-0/1 value accumulates always; the ~300-op full Humlicek
-    region scheme runs as a predicated correction only at the few
-    offsets where some lane actually falls in regions 2-4.
+        (num -> 0 kills a line exactly; denominators stay unmasked and
+        provably finite), so the masked path costs ~1 extra op per
+        (bin, chunk).  Bins whose LOCAL range intersects the chunk
+        additionally run the fine-point pass: cheap regions-0/1 select
+        always, with the full RFM Humlicek region scheme added as a
+        correction only when some lane actually needs regions 2-4.
   * A spectral block maps to a contiguous group range, so a per-block
     call is fully self-contained (every fine point and coarse triple of
     the block receives ALL its line contributions) — bin-method spectral
@@ -63,18 +55,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .bins import NIP, BinRanges, SpectralBins
 from .lines import GridLines
+from . import pallas_kernels as pk
 from .pallas_kernels import (CH_A0, CH_C0, CH_D0, CH_D2, CH_FTOT, CH_RW,
                              CH_SNUM0, CH_XLIM0, CH_Y, CH_YQ, LANE, NCH,
                              _humlicek_eval, _humlicek_y_coeffs, _round_up,
                              far_channels)
 
 _RSQRPI = 0.56418958354775628694
-
-# Two extra channels on top of the line_sample stack: the line's local
-# target-bin range (f32 bin indices; empty range = (1, -1) for padding).
-CH_BL = NCH
-CH_BH = NCH + 1
-NCHB = NCH + 2
 
 
 @dataclasses.dataclass(frozen=True)
@@ -95,17 +82,15 @@ class BinKernelTables:
     irl: np.ndarray         # [irl, irh): right-interior chunk sub-range
     irh: np.ndarray
     gpos0: np.ndarray       # global fine index of the group's first point
-    glcl: np.ndarray        # [glcl, glch): chunks with local work for
-    glch: np.ndarray        #   any bin of the group
+    llo: np.ndarray         # per-bin local line range [llo, lend)
+    lend: np.ndarray
     rlo: np.ndarray         # per-bin remote-left range [rlo, rendl)
     rendl: np.ndarray
     rhs: np.ndarray         # per-bin remote-right range [rhs, rendr)
     rendr: np.ndarray
+    lcl: np.ndarray         # per-bin local chunk sub-range [lcl, lch)
+    lch: np.ndarray
     wrel2: np.ndarray       # (ngroups*G*NIP,) int32: 2x coarse positions
-    binlo: np.ndarray       # (L,) int32 per-line local target-bin range
-    binhi: np.ndarray
-    hw_loc: int             # static local offset half-width [grid points]
-    corr_hw: int            # offsets beyond this never need regions 2-4
     lpad: int               # padded line-array length for in-bounds DMA
     coarse_region0: bool    # every remote eval is provably Humlicek reg. 0
 
@@ -198,50 +183,11 @@ def build_bin_kernel_tables(ranges: BinRanges, bins: SpectralBins,
     irl = rel_ceil(int_r_lo)
     irh = np.maximum(rel_floor(int_r_hi), irl)
 
-    # Per-group local chunk sub-range: every line in any group bin's
-    # local range (their union is contiguous on the sorted catalog).
-    loc_lo = np.where(has_l, llo, big).reshape(shp).min(axis=1)
-    loc_hi = np.where(has_l, lend, 0).reshape(shp).max(axis=1)
-    any_loc = loc_hi > 0
-    glcl = np.where(any_loc, np.clip((np.minimum(loc_lo, big - 1) - glo)
-                                     // ch, 0, gnch), 0)
-    glch = np.where(any_loc, np.clip(-(-(loc_hi - glo) // ch), 0, gnch), 0)
-
-    # Per-line local target-bin range [binlo, binhi]: the exact inversion
-    # of the per-bin index ranges, built by scattering each (bin, line)
-    # membership pair (sum of local counts ~ 3 lines/bin — cheap).  The
-    # per-line set IS contiguous: the nonempty bins' [llo, lend) windows
-    # are monotone in j (C bracket on monotone wavenumber windows over
-    # the sorted catalog), so two bins containing a line bracket only
-    # bins that also contain it.
-    llo_r = np.asarray(ranges.local_lo, np.int64)
-    cnt_r = np.asarray(ranges.local_cnt, np.int64)
-    L = lines.num_lines
-    binlo = np.full(L, nbins, np.int64)
-    binhi = np.full(L, -1, np.int64)
-    total = int(cnt_r.sum())
-    if total:
-        js = np.repeat(np.arange(nbins, dtype=np.int64), cnt_r)
-        starts = np.repeat(cnt_r.cumsum() - cnt_r, cnt_r)
-        ls = np.arange(total, dtype=np.int64) - starts + \
-            np.repeat(llo_r, cnt_r)
-        np.minimum.at(binlo, ls, js)
-        np.maximum.at(binhi, ls, js)
-    emptyb = binlo > binhi
-    binlo_f = np.where(emptyb, 1, binlo).astype(np.int32)
-    binhi_f = np.where(emptyb, -1, binhi).astype(np.int32)
-
-    # Static local offset half-width: the farthest any line's local
-    # target window reaches from its unshifted grid index c0.
-    c0s = np.asarray(lines.c0, np.int64)[:L]
-    reach_l = np.where(emptyb, 0, c0s - binlo * np.int64(bins.ppb))
-    reach_r = np.where(emptyb, 0,
-                       (binhi + 1) * np.int64(bins.ppb) - 1 - c0s)
-    hw_loc = int(max(np.max(reach_l, initial=0),
-                     np.max(reach_r, initial=0), 1))
-    from .lines import near_core_halfwidth, shift_margin
-    corr_hw = int(min(hw_loc, near_core_halfwidth(lines, bins.wres)
-                      + shift_margin(lines, bins.wres)))
+    # Per-bin local chunk sub-ranges, relative to the bin's own group.
+    glo_b = np.repeat(glo, G)
+    gnch_b = np.repeat(gnch, G)
+    lcl = np.clip((llo - glo_b) // ch, 0, gnch_b)
+    lch = np.where(has_l, np.clip(-(-(lend - glo_b) // ch), 0, gnch_b), lcl)
 
     # Coarse evaluation positions (grid units), exactly the f32 values the
     # jnp path uses: half-integers, stored doubled as int32.
@@ -260,36 +206,17 @@ def build_bin_kernel_tables(ranges: BinRanges, bins: SpectralBins,
         G=G, ngroups=ngroups, glo=glo.astype(i32), gnch=gnch.astype(i32),
         ill=ill.astype(i32), ilh=ilh.astype(i32), irl=irl.astype(i32),
         irh=irh.astype(i32), gpos0=gpos0.astype(i32),
-        glcl=glcl.astype(i32), glch=glch.astype(i32),
-        rlo=rlo.astype(i32), rendl=rendl.astype(i32),
-        rhs=rhs.astype(i32), rendr=rendr.astype(i32),
-        wrel2=wrel2.astype(i32), binlo=binlo_f, binhi=binhi_f,
-        hw_loc=hw_loc, corr_hw=corr_hw, lpad=lpad,
-        coarse_region0=coarse_region0)
-
-
-def bin_channels(prep, c0, ns, tables: BinKernelTables, *, dw: float,
-                 rpad: int):
-    """The 12-channel (NCHB, lpad, rpad) stack: far_channels' 10 plus the
-    per-line local target-bin range broadcast over rows."""
-    base = far_channels(prep, c0, ns, dw=dw, num_global=2 ** 30,
-                        lpad=tables.lpad, rpad=rpad, keep_offgrid=True)
-    L = tables.binlo.shape[0]
-    bl = jnp.pad(jnp.asarray(tables.binlo, jnp.float32),
-                 (0, tables.lpad - L), constant_values=1.0)
-    bh = jnp.pad(jnp.asarray(tables.binhi, jnp.float32),
-                 (0, tables.lpad - L), constant_values=-1.0)
-    extra = jnp.broadcast_to(
-        jnp.stack([bl, bh])[:, :, None], (2, tables.lpad, rpad))
-    return jnp.concatenate([base, extra], axis=0)
+        llo=llo.astype(i32), lend=lend.astype(i32), rlo=rlo.astype(i32),
+        rendl=rendl.astype(i32), rhs=rhs.astype(i32),
+        rendr=rendr.astype(i32), lcl=lcl.astype(i32), lch=lch.astype(i32),
+        wrel2=wrel2.astype(i32), lpad=lpad, coarse_region0=coarse_region0)
 
 
 def _bin_kernel(glo_ref, gnch_ref, ill_ref, ilh_ref, irl_ref, irh_ref,
-                gpos0_ref, glcl_ref, glch_ref, rlo_ref, rendl_ref, rhs_ref,
-                rendr_ref, wrel2_ref, params,
+                gpos0_ref, llo_ref, lend_ref, rlo_ref, rendl_ref, rhs_ref,
+                rendr_ref, lcl_ref, lch_ref, wrel2_ref, params,
                 fine_ref, coarse_ref, buf, sems, *, G: int, ppb: int,
-                ch: int, rblock: int, hw_loc: int, corr_hw: int,
-                coarse_region0: bool, newton: int):
+                ch: int, rblock: int, coarse_region0: bool, newton: int):
     g = pl.program_id(0)
     rb = pl.program_id(1)
     lo = glo_ref[g]
@@ -298,8 +225,6 @@ def _bin_kernel(glo_ref, gnch_ref, ill_ref, ilh_ref, irl_ref, irh_ref,
     ilh = ilh_ref[g]
     irl = irl_ref[g]
     irh = irh_ref[g]
-    glcl = glcl_ref[g]
-    glch = glch_ref[g]
     gpos0 = gpos0_ref[g].astype(jnp.float32)
 
     fine_ref[:] = jnp.zeros_like(fine_ref)
@@ -339,65 +264,52 @@ def _bin_kernel(glo_ref, gnch_ref, ill_ref, ilh_ref, irl_ref, irh_ref,
         snum0 = buf[slot, CH_SNUM0]
         yq = buf[slot, CH_YQ]
 
-        def coarse_point(m, num, cap):
-            """Pairwise-rational region-0 value at coarse point m (num
-            already carries any mask); exact also for the pure-Lorentz
-            lanes, whose yq channel holds the unclamped y^2
-            (k = snum0/(xq + yq) either way).  Returns the (1, rblock)
-            row — the static caller concatenates all G*NIP rows into ONE
-            block add per chunk.
+        def coarse_point(m, num):
+            """Pairwise-rational region-0 accumulation at coarse point m
+            (num already carries any mask); exact also for the
+            pure-Lorentz lanes, whose yq channel holds the unclamped
+            y^2 (k = snum0/(xq + yq) either way).
 
-            With ``cap`` (the general, numerator-masked path) ``den`` is
-            capped at 3e18 so the pairwise product d1*d2 can never
-            overflow to inf (0 * inf = NaN would poison the sum): the
-            padded-sentinel lines reach xq ~ 1e27 (|pos - 1e9| * rw).
-            Interior chunks hold only in-range physical lines (xq <=
-            (group reach * dw * repwid)^2 ~ 1e16 even for 1 cm-1-band
-            lines at 150 K), so they skip the cap."""
+            ``den`` is capped at 3e18 so the pairwise product d1*d2 can
+            never overflow to inf (0 * inf = NaN would poison the sum):
+            the padded-sentinel lines reach xq ~ 1e27 (|pos - 1e9| * rw),
+            and their num is masked to zero, so the cap only has to keep
+            the product finite.  Physical lines stay far below the cap
+            (xq <= (group reach * dw * repwid)^2 ~ 1e16 even for
+            1 cm-1-band lines at 150 K)."""
             pos = 0.5 * wrel2_ref[g * (G * NIP) + m].astype(jnp.float32)
             xi = ((pos - c0) - ftot) * rw
             xq = xi * xi
-            den = xq + yq
-            if cap:
-                den = jnp.minimum(den, 3e18)
+            den = jnp.minimum(xq + yq, 3e18)
             bign = num[:h] * den[h:] + num[h:] * den[:h]
             bigd = den[:h] * den[h:]
-            return jnp.sum(bign * rcp(bigd), axis=0, keepdims=True)
+            row = jnp.sum(bign * rcp(bigd), axis=0, keepdims=True)
+            coarse_ref[pl.ds(m, 1), :] += row
+            return 0
 
         is_interior = ((c >= ill) & (c < ilh)) | ((c >= irl) & (c < irh))
 
         @pl.when(is_interior)
         def _():
             # Every line is remote for every bin of the group and at
-            # region-0 distance from every coarse point: no masks at
-            # all.  Fully static: the channel loads amortize over all
-            # G*NIP points and the output block is written ONCE.
-            rows = [coarse_point(m, snum0, cap=False)
-                    for m in range(G * NIP)]
-            coarse_ref[:] += jnp.concatenate(rows, axis=0)
+            # region-0 distance from every coarse point: no masks at all.
+            jax.lax.fori_loop(0, G * NIP,
+                              lambda m, _: coarse_point(m, snum0), 0)
 
-        @pl.when(jnp.logical_not(is_interior))
+        @pl.when(jnp.logical_not(is_interior) & (G > 0))
         def _():
             idx = jax.lax.broadcasted_iota(jnp.int32, (ch, 1), 0) \
                 + (lo + c * ch)
-
-            if coarse_region0:
-                rows = []
-                for j in range(G):
-                    jb = g * G + j
-                    rmask = ((idx >= rlo_ref[jb])
-                             & (idx < rendl_ref[jb])) | \
-                            ((idx >= rhs_ref[jb]) & (idx < rendr_ref[jb]))
-                    num_m = jnp.where(rmask, snum0, 0.0)
-                    rows += [coarse_point(j * NIP + k, num_m, cap=True)
-                             for k in range(NIP)]
-                coarse_ref[:] += jnp.concatenate(rows, axis=0)
 
             def bin_body(j, _):
                 jb = g * G + j
                 rmask = ((idx >= rlo_ref[jb]) & (idx < rendl_ref[jb])) | \
                         ((idx >= rhs_ref[jb]) & (idx < rendr_ref[jb]))
-                if not coarse_region0:
+                num_m = jnp.where(rmask, snum0, 0.0)
+                if coarse_region0:
+                    for k in range(NIP):
+                        coarse_point(j * NIP + k, num_m)
+                else:
                     # Correction-capable coarse path (light molecules /
                     # coarse grids where remote lines can fall inside
                     # Humlicek regions 1-4).
@@ -439,94 +351,57 @@ def _bin_kernel(glo_ref, gnch_ref, ill_ref, ilh_ref, irl_ref, irh_ref,
                                              0.0)
                             coarse_ref[pl.ds(m, 1), :] += \
                                 jnp.sum(corr, axis=0, keepdims=True)
-                return 0
 
-            if not coarse_region0:
-                jax.lax.fori_loop(0, G, bin_body, 0)
+                # Local fine points: full Voigt on the bin's own grid
+                # points (cheap 0/1 select + full-region correction only
+                # when a lane is inside regions 2-4).
+                @pl.when((c >= lcl_ref[jb]) & (c < lch_ref[jb]))
+                def _(jb=jb, j=j):
+                    lmask = (idx >= llo_ref[jb]) & (idx < lend_ref[jb])
+                    y = buf[slot, CH_Y]
+                    xlim0 = buf[slot, CH_XLIM0]
+                    a0 = buf[slot, CH_A0]
+                    d0 = buf[slot, CH_D0]
+                    d2 = buf[slot, CH_D2]
+                    lor = xlim0 < 0.0
+                    sfac = snum0 * rcp(jnp.float32(_RSQRPI)
+                                       * jnp.maximum(y, 1e-30))
+                    coeffs = _humlicek_y_coeffs(y, yq, xlim0)
+                    xlim0_s = coeffs[0]
+                    tiny = y <= 0.000001
+                    base = gpos0 + (j * ppb).astype(jnp.float32)
 
-        # --- Local fine points: offset window + one-hot MXU placement
-        # (the line_sample near-core design; module docstring). ---------
-        @pl.when((c >= glcl) & (c < glch))
-        def _():
-            y = buf[slot, CH_Y]
-            xlim0 = buf[slot, CH_XLIM0]
-            a0 = buf[slot, CH_A0]
-            d0 = buf[slot, CH_D0]
-            d2 = buf[slot, CH_D2]
-            bl0 = buf[slot, CH_BL]
-            bh0 = buf[slot, CH_BH]
-            lor = xlim0 < 0.0
-            sfac = snum0 * rcp(jnp.float32(_RSQRPI)
-                               * jnp.maximum(y, 1e-30))
-            coeffs = _humlicek_y_coeffs(y, yq, xlim0)
-            xlim0_s = coeffs[0]
-            tiny = y <= 0.000001
-            pos_rel = c0 - gpos0                   # (ch, rblock), row-const
-            iota_t = jax.lax.broadcasted_iota(
-                jnp.int32, (ch, G * ppb), 1).astype(jnp.float32)
-            inv_ppb = jnp.float32(1.0 / ppb)
-            acc = jnp.zeros((G * ppb, rblock), jnp.float32)
-
-            def dot_place(onehot, contrib):
-                # HIGHEST: bf16 MXU passes would round the local (peak)
-                # tau values to ~1e-3 relative.
-                return jax.lax.dot_general(
-                    onehot, contrib, (((0,), (0,)), ((), ())),
-                    precision=jax.lax.Precision.HIGHEST,
-                    preferred_element_type=jnp.float32)
-
-            ounroll = 4
-
-            def off_body(ob, acc):
-                for k in range(ounroll):
-                    off = (ob * ounroll + (k - hw_loc)).astype(jnp.float32)
-                    # Target fine point g_t = c0 + off; its bin decides
-                    # membership (+0.5 keeps the floor away from the
-                    # exact bin boundaries, where inv_ppb rounding could
-                    # flip it).  Offsets past the padded window end fail
-                    # every line's [bl0, bh0] automatically (hw_loc is
-                    # the max reach), so no extra bound mask is needed.
-                    jg = jnp.floor((c0 + (off + 0.5)) * inv_ppb)
-                    m = (jg >= bl0) & (jg <= bh0)
-                    xi = (off - ftot) * rw
-                    xq = xi * xi
-                    abx = jnp.abs(xi)
-                    r0 = rcp(xq + yq)
-                    k0 = (y * jnp.float32(_RSQRPI)) * r0
-                    k1 = (jnp.float32(_RSQRPI)
-                          * rcp(d0 + xq * (d2 + xq))) * y * (a0 + xq)
-                    k01 = jnp.where(abx >= xlim0_s, k0, k1)
-                    cheap = jnp.where(lor, snum0 * r0, sfac * k01)
-                    cheap = jnp.where(m, cheap, 0.0)
-                    onehot = jnp.where(pos_rel[:, :1] + off == iota_t,
-                                       1.0, 0.0)
-                    acc = acc + dot_place(onehot, cheap)
-
-                    # Humlicek regions 2-4 can only be reached within
-                    # corr_hw points of a line center (|x| < 12.81 needs
-                    # |off - ftot| <= near-core halfwidth), so the
-                    # expensive any(need) vector reduce + correction is
-                    # skipped entirely for the far offsets.
-                    @pl.when(jnp.abs(off) <= jnp.float32(corr_hw + 1))
-                    def _(xi=xi, xq=xq, abx=abx, k01=k01, m=m,
-                          onehot=onehot):
-                        need = m & jnp.logical_not(lor) & \
+                    def point_body(p, _):
+                        pos = base + p.astype(jnp.float32)
+                        xi = ((pos - c0) - ftot) * rw
+                        xq = xi * xi
+                        abx = jnp.abs(xi)
+                        r0 = rcp(xq + yq)
+                        k0 = (y * jnp.float32(_RSQRPI)) * r0
+                        k1 = (jnp.float32(_RSQRPI)
+                              * rcp(d0 + xq * (d2 + xq))) * y * (a0 + xq)
+                        k01 = jnp.where(abx >= xlim0_s, k0, k1)
+                        cheap = jnp.where(lor, snum0 * r0, sfac * k01)
+                        cheap = jnp.where(lmask, cheap, 0.0)
+                        row = jnp.sum(cheap, axis=0, keepdims=True)
+                        fine_ref[pl.ds(j * ppb + p, 1), :] += row
+                        need = lmask & jnp.logical_not(lor) & \
                             ((xq < 164.1) | tiny)
 
                         @pl.when(jnp.any(need))
-                        def _(xi=xi, xq=xq, k01=k01, need=need,
-                              onehot=onehot):
-                            k_full = _humlicek_eval(xi, xq, y, yq, a0,
-                                                    d0, d2, coeffs,
-                                                    rcp=rcp)
+                        def _(xi=xi, xq=xq, k01=k01, need=need, p=p):
+                            k_full = _humlicek_eval(xi, xq, y, yq, a0, d0,
+                                                    d2, coeffs, rcp=rcp)
                             corr = jnp.where(need, sfac * (k_full - k01),
                                              0.0)
-                            fine_ref[:] += dot_place(onehot, corr)
-                return acc
+                            fine_ref[pl.ds(j * ppb + p, 1), :] += \
+                                jnp.sum(corr, axis=0, keepdims=True)
+                        return 0
 
-            nio = (2 * hw_loc + 1 + ounroll - 1) // ounroll
-            acc = jax.lax.fori_loop(0, nio, off_body, acc)
-            fine_ref[:] += acc
+                    jax.lax.fori_loop(0, ppb, point_body, 0)
+                return 0
+
+            jax.lax.fori_loop(0, G, bin_body, 0)
         return 0
 
     jax.lax.fori_loop(0, nch_, chunk_body, 0)
@@ -535,13 +410,11 @@ def _bin_kernel(glo_ref, gnch_ref, ill_ref, ilh_ref, irl_ref, irh_ref,
 @functools.partial(
     jax.jit,
     static_argnames=("G", "ppb", "ch", "ngroups_block", "rpad", "rblock",
-                     "hw_loc", "corr_hw", "coarse_region0", "newton",
-                     "interpret"))
-def bins_pallas(channels, glo, gnch, ill, ilh, irl, irh, gpos0, glcl, glch,
-                rlo, rendl, rhs, rendr, wrel2, *, G: int,
+                     "coarse_region0", "newton", "interpret"))
+def bins_pallas(channels, glo, gnch, ill, ilh, irl, irh, gpos0, llo, lend,
+                rlo, rendl, rhs, rendr, lcl, lch, wrel2, *, G: int,
                 ppb: int, ch: int, ngroups_block: int, rpad: int,
-                hw_loc: int, corr_hw: int, coarse_region0: bool,
-                rblock: int | None = None,
+                coarse_region0: bool, rblock: int | None = None,
                 newton: int | None = None, interpret: bool = False):
     """Run the bin kernel over ``ngroups_block`` bin groups.
 
@@ -552,7 +425,7 @@ def bins_pallas(channels, glo, gnch, ill, ilh, irl, irh, gpos0, glcl, glch,
     if newton is None:
         newton = 2 if interpret else 1
     if rblock is None:
-        per_lane = 4 * (2 * NCHB * ch + 2 * G * ppb + G * NIP + 8 * ch)
+        per_lane = 4 * (2 * NCH * ch + G * ppb + G * NIP + 8 * ch)
         rb_cap = max((10_000_000 // per_lane) // LANE * LANE, LANE)
         best, best_cost = LANE, None
         for rb in range(LANE, min(rpad, rb_cap, 1024) + 1, LANE):
@@ -563,7 +436,7 @@ def bins_pallas(channels, glo, gnch, ill, ilh, irl, irh, gpos0, glcl, glch,
         rblock = best
     nrb = -(-rpad // rblock)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=14,
+        num_scalar_prefetch=16,
         grid=(ngroups_block, nrb),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=[
@@ -573,13 +446,12 @@ def bins_pallas(channels, glo, gnch, ill, ilh, irl, irh, gpos0, glcl, glch,
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, NCHB, ch, rblock), jnp.float32),
+            pltpu.VMEM((2, NCH, ch, rblock), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     kernel = functools.partial(_bin_kernel, G=G, ppb=ppb, ch=ch,
-                               rblock=rblock, hw_loc=hw_loc,
-                               corr_hw=corr_hw,
+                               rblock=rblock,
                                coarse_region0=coarse_region0,
                                newton=newton)
     return pl.pallas_call(
@@ -595,10 +467,11 @@ def bins_pallas(channels, glo, gnch, ill, ilh, irl, irh, gpos0, glcl, glch,
     )(jnp.asarray(glo, jnp.int32), jnp.asarray(gnch, jnp.int32),
       jnp.asarray(ill, jnp.int32), jnp.asarray(ilh, jnp.int32),
       jnp.asarray(irl, jnp.int32), jnp.asarray(irh, jnp.int32),
-      jnp.asarray(gpos0, jnp.int32), jnp.asarray(glcl, jnp.int32),
-      jnp.asarray(glch, jnp.int32), jnp.asarray(rlo, jnp.int32),
+      jnp.asarray(gpos0, jnp.int32), jnp.asarray(llo, jnp.int32),
+      jnp.asarray(lend, jnp.int32), jnp.asarray(rlo, jnp.int32),
       jnp.asarray(rendl, jnp.int32), jnp.asarray(rhs, jnp.int32),
-      jnp.asarray(rendr, jnp.int32), jnp.asarray(wrel2, jnp.int32),
+      jnp.asarray(rendr, jnp.int32), jnp.asarray(lcl, jnp.int32),
+      jnp.asarray(lch, jnp.int32), jnp.asarray(wrel2, jnp.int32),
       channels)
 
 
@@ -627,7 +500,12 @@ def accumulate_bins_pallas(prep, c0, ns, tables: BinKernelTables, *,
         nbins_block = tables.ngroups * G
     ngroups_block = -(-nbins_block // G)
 
-    channels = bin_channels(prep, c0, ns, tables, dw=dw, rpad=rpad)
+    # num_global is irrelevant to the bin masks (index ranges decide
+    # validity); pass a huge bound so shifted centers just off the grid
+    # still contribute exactly as in the jnp path.
+    channels = far_channels(prep, c0, ns, dw=dw, num_global=2 ** 30,
+                            lpad=tables.lpad, rpad=rpad,
+                            keep_offgrid=True)
 
     g0 = jnp.asarray(start_bin, jnp.int32) // G
     pad_g = max(ngroups_block - 1, 0)
@@ -648,13 +526,12 @@ def accumulate_bins_pallas(prep, c0, ns, tables: BinKernelTables, *,
     fine_t, coarse_t = bins_pallas(
         channels, grp(tables.glo), gnch, grp(tables.ill), grp(tables.ilh),
         grp(tables.irl), grp(tables.irh), grp(tables.gpos0),
-        grp(tables.glcl), grp(tables.glch),
-        binl(tables.rlo), binl(tables.rendl), binl(tables.rhs),
-        binl(tables.rendr), binl(tables.wrel2, per=NIP),
+        binl(tables.llo), binl(tables.lend), binl(tables.rlo),
+        binl(tables.rendl), binl(tables.rhs), binl(tables.rendr),
+        binl(tables.lcl), binl(tables.lch), binl(tables.wrel2, per=NIP),
         G=G, ppb=ppb, ch=ch, ngroups_block=ngroups_block, rpad=rpad,
-        hw_loc=tables.hw_loc, corr_hw=tables.corr_hw,
-        coarse_region0=tables.coarse_region0,
-        rblock=rblock, newton=newton, interpret=interpret)
+        coarse_region0=tables.coarse_region0, rblock=rblock,
+        newton=newton, interpret=interpret)
 
     fine = fine_t[:nbins_block * ppb, :rows].T
     coarse = coarse_t[:nbins_block * NIP, :rows].T.reshape(

@@ -139,6 +139,59 @@ def combine_column_segments(out_dir: str, name: str) -> dict:
             for k in keys}
 
 
+def run_driver_segment(driver, atm, out_dir: str, name: str,
+                       n_spectral: int = 1,
+                       process_index: int | None = None,
+                       num_processes: int | None = None,
+                       x: int = 0, X: int | None = None,
+                       integrated: bool = True,
+                       column_chunk: int | None = None) -> str:
+    """The per-host production flow for the FULL radiation driver: slice
+    the Atmosphere -> three-tier run on a local (columns x spectral)
+    mesh -> one segment per process.
+
+    This is the TPU equivalent of the reference running the *actual
+    binaries* per SLURM node with -x/-X column bounds
+    (GRTworkflow/run-rfmip-irf.sh:102-125): every capability of
+    :class:`grtcode_tpu.framework.RadiationDriver` — all sky tiers,
+    stochastic clouds (keyed on GLOBAL column ids, so realizations are
+    process-layout-invariant), spectral surfaces, spectral or integrated
+    output — runs under the process slice.  The segment holds one array
+    per (tier, flux) pair; ``combine_column_segments`` merges them
+    byte-identically to a single-process run.
+
+    Column counts that don't divide the local mesh's column axis are
+    padded by repeating the slice's first column and trimmed from the
+    outputs (the same device-shape discipline as run(column_chunk=)).
+    """
+    import jax
+
+    pid = jax.process_index() if process_index is None else process_index
+    nproc = jax.process_count() if num_processes is None else num_processes
+    start, stop = column_slice(atm.batch, pid, nproc, x=x, X=X)
+
+    manifest = SegmentManifest(out_dir)
+    seg_id = f"{name}.seg{pid:05d}"
+    if manifest.is_done(seg_id):
+        return manifest.record(seg_id)["output"]
+
+    mesh = local_mesh(n_spectral=n_spectral)
+    from .mesh import COLUMNS_AXIS
+
+    n_cols_axis = mesh.shape[COLUMNS_AXIS]
+    idx = np.arange(start, stop)
+    n_pad = (-idx.size) % n_cols_axis
+    if n_pad:
+        idx = np.concatenate([idx, np.repeat(idx[:1], n_pad)])
+    res = driver.run(atm.subset(idx), integrated=integrated, mesh=mesh,
+                     column_chunk=column_chunk, col_index=idx)
+    keep = stop - start
+    arrays = {f"{tier}_{var}": np.asarray(d[var])[:keep]
+              for tier, d in res.tiers.items() for var in d}
+    return write_segment(out_dir, name, pid, start, stop, arrays,
+                        manifest=manifest)
+
+
 def run_process_segment(model, batch: dict, out_dir: str, name: str,
                         n_spectral: int = 1,
                         process_index: int | None = None,

@@ -96,3 +96,80 @@ def test_two_process_dryrun(tmp_path):
     from tools import dryrun_distributed
 
     dryrun_distributed.orchestrate(str(tmp_path))
+
+
+def test_run_driver_segment_three_tiers_uneven(tmp_path):
+    """The FULL RadiationDriver (aerosols + stochastic clouds, both
+    bands) under process slices — including a column count that does NOT
+    divide the local mesh's column axis (pad + trim path).  Combined
+    segments must match the plain unmeshed run: cloud realizations are
+    keyed on global column ids, so the process layout cannot change
+    them (run_driver_segment, the per-node-binary equivalent of
+    GRTworkflow/run-rfmip-irf.sh:102-125)."""
+    from tools.dryrun_distributed import build_driver_case
+
+    drv, atm = build_driver_case(B=5)
+    for pid in range(2):
+        distributed.run_driver_segment(
+            drv, atm, str(tmp_path), "drv", n_spectral=2,
+            process_index=pid, num_processes=2)
+    combined = distributed.combine_column_segments(str(tmp_path), "drv")
+    ref = drv.run(atm, integrated=True)
+    assert sorted(ref.tiers) == ["af", "cs", "csaf"]
+    for tier, d in ref.tiers.items():
+        for var in d:
+            np.testing.assert_allclose(
+                combined[f"{tier}_{var}"], np.asarray(d[var]),
+                rtol=2e-5, atol=1e-5, err_msg=f"{tier}/{var}")
+    # Idempotent recovery: a second call reuses the done-marker.
+    p = distributed.run_driver_segment(
+        drv, atm, str(tmp_path), "drv", n_spectral=2,
+        process_index=0, num_processes=2)
+    assert os.path.exists(p)
+
+
+def test_rfmip_app_column_segments_equal_full_run(tmp_path):
+    """The rfmip APP run twice with -x/-X column slices produces
+    segments whose column-concatenation equals the single full run —
+    the reference's actual per-node execution contract
+    (run-rfmip-irf.sh:102-125 runs the real binary per node)."""
+    import h5py
+
+    from grtcode_tpu.apps import rfmip
+    from tests.test_rfmip import input_file as _input_fixture  # noqa
+    import tests.test_rfmip as tr
+
+    # Build the synthetic RFMIP input directly (fixture body).
+    import pytest as _pytest
+    tmpdir = tmp_path
+
+    class _F:
+        def mktemp(self, name):
+            d = tmpdir / name
+            d.mkdir(exist_ok=True)
+            return d
+
+    input_nc = tr.input_file.__wrapped__(_F())
+
+    def run(x, X, out):
+        rfmip.main(["none", "none", input_nc, "2", "-integrated",
+                    "-x", str(x)] + (["-X", str(X)] if X is not None
+                                     else []) + ["-o", out])
+
+    full = str(tmp_path / "full.nc")
+    run(0, None, full)
+    seg0 = str(tmp_path / "seg0.nc")
+    seg1 = str(tmp_path / "seg1.nc")
+    run(0, 2, seg0)
+    run(3, 4, seg1)
+
+    with h5py.File(full, "r") as f_full, h5py.File(seg0, "r") as f0, \
+            h5py.File(seg1, "r") as f1:
+        assert f0.attrs["x_start"] == 0 and f0.attrs["x_stop"] == 2
+        assert f1.attrs["x_start"] == 3 and f1.attrs["x_stop"] == 4
+        for name in ("rlucsaf", "rldcsaf", "rsucsaf", "rsdcsaf",
+                     "rlutcsaf", "rsdscsaf"):
+            merged = np.concatenate([np.asarray(f0[name]),
+                                     np.asarray(f1[name])], axis=0)
+            np.testing.assert_array_equal(merged, np.asarray(f_full[name]),
+                                          err_msg=name)

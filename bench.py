@@ -479,6 +479,13 @@ def main():
         "unit": "column*layer*wavenumber points/s (LW+SW)",
         "vs_baseline": value / REF_POINTS_PER_S,
     }
+    try:
+        stats = dev.memory_stats()
+        peak = stats.get("peak_bytes_in_use")
+        if peak:
+            result["peak_hbm_gib"] = round(peak / 2 ** 30, 2)
+    except Exception:
+        pass
     if opts.method != "line_sample":
         result["lw_method"] = opts.method
     if opts.lw_res != 0.1:

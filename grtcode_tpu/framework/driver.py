@@ -237,23 +237,29 @@ class RadiationDriver:
         # Night handling (the reference skips the SW pass per column iff
         # cos(zenith) <= 0, driver.c:706-713).  Three regimes:
         #   * no lit column -> dispatch the LW-only step (SW pipeline
-        #     never computed; rsu/rsd are integrated zeros);
-        #   * a mixed batch (unsharded, integrated) -> DAY COMPACTION:
-        #     gather lit columns into one bucket-padded sub-batch that
-        #     runs LW+SW, the night columns into another that runs
-        #     LW-only, and scatter both back — the SW gas optics + solver
-        #     cost scales with the lit fraction instead of the batch
-        #     (for ERA5, half the globe is night -> ~2x SW-phase saving);
+        #     never computed; rsu/rsd are zeros);
+        #   * a mixed batch -> DAY COMPACTION: gather lit columns into
+        #     one bucket-padded sub-batch that runs LW+SW, the night
+        #     columns into another that runs LW-only, and scatter both
+        #     back — the SW gas optics + solver cost scales with the lit
+        #     fraction instead of the batch (for ERA5, half the globe is
+        #     night -> ~2x SW-phase saving).  Works sharded too: both
+        #     sub-batches run under the SAME mesh (buckets round up to a
+        #     multiple of the mesh's column axis), and spectral output
+        #     gets SW-band-shaped zeros for the night bucket.
         #   * otherwise -> full batch with the post-hoc day mask.
         # Bucketing pads each sub-batch up to a power of two so the jit
         # step compiles per bucket size, not per lit count.
+        from ..parallel.mesh import COLUMNS_AXIS
+
+        n_cols_axis = 1 if mesh is None else mesh.shape[COLUMNS_AXIS]
         with_sw = self.sw_gas is not None
         lit = night = None
-        if with_sw and integrated:
+        if with_sw:
             mu_host = atm.cos_zenith
             if mu_host is None or not np.any(np.asarray(mu_host) > 0.0):
                 with_sw = False
-            elif mesh is None:
+            else:
                 mu_np = np.asarray(mu_host)
                 lit = np.flatnonzero(mu_np > 0.0)
                 night = np.flatnonzero(~(mu_np > 0.0))
@@ -264,7 +270,8 @@ class RadiationDriver:
             b = 1
             while b < idx.size:
                 b *= 2
-            b = min(b, atm.batch)
+            b = min(max(b, n_cols_axis), atm.batch)
+            b = -(-b // n_cols_axis) * n_cols_axis
             return np.concatenate(
                 [idx, np.repeat(idx[:1], b - idx.size)])
 
@@ -282,10 +289,10 @@ class RadiationDriver:
                 return jax.tree.map(lambda a: a[i], tree)
 
             lit_p, night_p = bucket_pad(lit), bucket_pad(night)
-            out_lit = self._step(atm.clean, atm.clear, True, None,
+            out_lit = self._step(atm.clean, atm.clear, integrated, mesh,
                                  with_sw=True)(
                 gather(dev, lit_p), gather(cloud_args, lit_p))
-            out_night = self._step(atm.clean, atm.clear, True, None,
+            out_night = self._step(atm.clean, atm.clear, integrated, mesh,
                                    with_sw=False)(
                 gather(dev, night_p), gather(cloud_args, night_p))
 
@@ -365,6 +372,14 @@ class RadiationDriver:
         if swg is not None:
             block_sw = (swg.n if mesh is None
                         else _block(swg.n, self.sw_gas.block_quantum))
+        # SW zero width for LW-only steps' placeholder outputs: spectral
+        # mode needs SW-band-shaped zeros so a day-compacted night bucket
+        # scatters consistently against the lit bucket's results.
+        sw_zero_n = None
+        if swg is None and self.sw_gas is not None and not integrated:
+            g = self.sw_gas.grid
+            sw_zero_n = (g.n if mesh is None
+                         else _block(g.n, self.sw_gas.block_quantum))
         sol_padded = (_pad_table(sol_full, block_sw)
                       if swg is not None and mesh is not None else sol_full)
 
@@ -491,7 +506,9 @@ class RadiationDriver:
                 if swg is not None:
                     rsu, rsd = sw_tier(opt_sw, c)
                 else:
-                    z = jnp.zeros_like(rlu)
+                    z = (jnp.zeros_like(rlu) if sw_zero_n is None else
+                         jnp.zeros(rlu.shape[:-1] + (sw_zero_n,),
+                                   rlu.dtype))
                     rsu = rsd = z
                 return {"rlu": rlu, "rld": rld, "rsu": rsu, "rsd": rsd}
 
@@ -534,9 +551,19 @@ class RadiationDriver:
 
             return tiers
 
+        # LW-only steps (night buckets / LW-only apps) never touch the
+        # SW-only inputs: prune them so the mesh padding/sharding logic
+        # below doesn't have to handle SW spectra without an SW block.
+        sw_keys = ("mu", "tsi", "albedo_dir", "albedo_dif", "vmr_sw")
+
+        def prune(col):
+            if swg is not None:
+                return col
+            return {k: v for k, v in col.items() if k not in sw_keys}
+
         if mesh is None:
-            return jax.jit(lambda col, cloud_args: core(col, cloud_args,
-                                                        0, 0))
+            return jax.jit(lambda col, cloud_args: core(prune(col),
+                                                        cloud_args, 0, 0))
 
         spectral_keys = ("emis", "albedo_dir", "albedo_dif")
 
@@ -563,10 +590,10 @@ class RadiationDriver:
             # Pad (B, nw) per-column spectra to S x block so they shard
             # evenly over the spectral axis; (B,) grey surfaces replicate
             # and broadcast inside the shard instead.
-            col = dict(col)
+            col = dict(prune(col))
             for key, blk in (("emis", block_lw), ("albedo_dir", block_sw),
                              ("albedo_dif", block_sw)):
-                if key in col and col[key].ndim == 2:
+                if key in col and blk is not None and col[key].ndim == 2:
                     pad = S * blk - col[key].shape[-1]
                     col[key] = jnp.pad(col[key], ((0, 0), (0, pad)))
             in_specs = (

@@ -112,3 +112,57 @@ def test_robustness_extremes(tau):
     assert fdn[0, 0] == pytest.approx(TSI * MU0, rel=1e-5)
     if tau > 1e6:
         assert abs(fdn[-1, 0]) < 1e-3 and abs(fup[-1, 0]) < 1e-3
+
+
+def _chandrasekhar_H(omega, mu_eval, n_quad=96, iters=400):
+    """Chandrasekhar's H-function for isotropic scattering, from the
+    exact identity (Chandrasekhar 1950, "Radiative Transfer", ch. V;
+    also Sobolev 1975 / Hapke 1993):
+
+        1/H(mu) = sqrt(1 - omega)
+                  + (omega/2) * int_0^1 mu' H(mu') / (mu + mu') dmu'
+
+    iterated to convergence on a Gauss-Legendre grid in float64 — an
+    EXTERNAL analytic oracle independent of this repo's solvers."""
+    x, w = np.polynomial.legendre.leggauss(n_quad)
+    mu = 0.5 * (x + 1.0)
+    wq = 0.5 * w
+    H = np.ones(n_quad)
+    s = np.sqrt(1.0 - omega)
+    for _ in range(iters):
+        integ = (0.5 * omega) * (wq * mu * H)[None, :] / \
+            (mu[:, None] + mu[None, :])
+        H_new = 1.0 / (s + integ.sum(axis=1))
+        if np.max(np.abs(H_new - H)) < 1e-14:
+            H = H_new
+            break
+        H = H_new
+    integ_e = (0.5 * omega) * (wq * mu * H) / (mu_eval + mu)
+    return 1.0 / (s + integ_e.sum())
+
+
+@pytest.mark.parametrize("omega,mu0", [(0.6, 0.5), (0.9, 0.8),
+                                       (0.99, 0.4)])
+def test_semi_infinite_plane_albedo_vs_chandrasekhar(omega, mu0):
+    """Published-benchmark pin (VERDICT r4 #9): for a semi-infinite
+    isotropically-scattering atmosphere, the plane albedo is EXACTLY
+    A(mu0) = 1 - H(mu0) sqrt(1 - omega) (Chandrasekhar 1950 ch. V;
+    quoted e.g. by Sobolev 1975 eq. 2.43 and Hapke 1993 eq. 8.25).
+    The 16-stream solver on a tau=400 slab with a black surface must
+    reproduce it to discrete-ordinates accuracy."""
+    A_exact = 1.0 - _chandrasekhar_H(omega, mu0) * np.sqrt(1.0 - omega)
+    nlayers, nw = 60, 2
+    # Geometric layer thicknesses resolve the top of the slab where the
+    # reflected flux forms; total tau ~ 400 emulates semi-infinity.
+    dtau = 0.08 * 1.16 ** np.arange(nlayers)
+    tau = jnp.asarray(np.repeat(dtau[:, None], nw, 1), jnp.float32)
+    omega_a = jnp.full((nlayers, nw), omega, jnp.float32)
+    g = jnp.zeros((nlayers, nw), jnp.float32)
+    alb = jnp.zeros((nw,), jnp.float32)
+    solar = jnp.full((nw,), 1.0, jnp.float32)
+    fup, fdn = disort_shortwave(tau, omega_a, g, jnp.float32(mu0), alb,
+                                jnp.float32(TSI), solar, nstr=16,
+                                deltam=False, wchunk=2)
+    A_got = float(np.asarray(fup)[0, 0]) / (TSI * mu0)
+    assert abs(A_got - A_exact) < 5e-3 * max(A_exact, 0.05), \
+        (A_got, A_exact)

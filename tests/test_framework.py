@@ -270,7 +270,9 @@ def test_day_compaction_under_mesh_and_spectral(driver, atm):
     from grtcode_tpu.parallel import make_mesh
 
     B = 6
-    mu = np.array([0.6, -0.2, 0.8, -0.5, 0.3, -1.0])
+    # 4 lit / 2 night: the lit bucket (4) stays below the batch so
+    # compaction engages, and the lit-only reference divides the mesh.
+    mu = np.array([0.6, -0.2, 0.8, -0.5, 0.3, 0.7])
     big = dataclasses.replace(
         atm.subset(np.zeros(B, int)), cos_zenith=mu,
         total_solar_irradiance=np.full(B, 1361.0))

@@ -323,6 +323,57 @@ def sweep_batch():
     }))
 
 
+def _profile_kernels(step, args, chain, iters: int = 2):
+    """Trace ``iters`` steps on-device and return (voigt-kernel ms/step,
+    total device-busy ms/step, top ops).  Returns None when the profiler
+    yields no device track (e.g. some remote-TPU setups)."""
+    import glob
+    import gzip
+    import tempfile
+
+    import jax
+
+    with tempfile.TemporaryDirectory() as td:
+        try:
+            with jax.profiler.trace(td):
+                c = chain
+                for _ in range(iters):
+                    out = step(*args, c)
+                    c = out[4]
+                float(c)
+        except Exception as e:
+            print(f"profiler capture failed: {e}", file=sys.stderr)
+            return None
+        files = sorted(glob.glob(os.path.join(td, "**", "*.trace.json.gz"),
+                                 recursive=True))
+        if not files:
+            print("profiler produced no trace file", file=sys.stderr)
+            return None
+        with gzip.open(files[-1], "rt") as f:
+            trace = json.load(f)
+    events = trace.get("traceEvents", [])
+    name_by_pid = {}
+    for e in events:
+        if e.get("ph") == "M" and e.get("name") == "process_name":
+            name_by_pid[e["pid"]] = e["args"].get("name", "")
+    device_pids = {p for p, n in name_by_pid.items()
+                   if "TPU" in n or "/device" in n.lower()}
+    tot = {}
+    for e in events:
+        if e.get("ph") == "X" and e.get("pid") in device_pids:
+            tot[e["name"]] = tot.get(e["name"], 0.0) + e.get("dur", 0.0)
+    if not tot:
+        print("profiler trace had no device ops", file=sys.stderr)
+        return None
+    per_step = {n: us / 1e3 / iters for n, us in tot.items()}
+    kernel_ms = sum(v for n, v in per_step.items()
+                    if "voigt" in n.lower() or "custom" in n.lower()
+                    or "bin_kernel" in n.lower())
+    total_ms = sum(per_step.values())
+    top = sorted(per_step.items(), key=lambda kv: -kv[1])[:6]
+    return kernel_ms, total_ms, top
+
+
 def main():
     import argparse
 
@@ -344,6 +395,11 @@ def main():
     ap.add_argument("--lw-res", type=float, default=0.1,
                     help="LW grid resolution [cm-1] (production north "
                          "star: 0.01)")
+    ap.add_argument("--profile", action="store_true",
+                    help="capture a jax.profiler device trace of 2 steps "
+                         "and report the MEASURED Voigt-kernel time (the "
+                         "hardware cross-check of the analytic MFU "
+                         "estimate, VERDICT r4 #8b)")
     ap.add_argument("--lw-blocks", type=int, default=None,
                     help="stream the LW band in this many spectral "
                          "blocks inside one step (default: 1 at 0.1 "
@@ -421,8 +477,8 @@ def main():
             print(f"compile attempt {attempt + 1} failed "
                   f"(transient remote-compile error), retrying",
                   file=sys.stderr)
-    print(f"compile+first step: {time.perf_counter() - t0:.1f}s",
-          file=sys.stderr)
+    compile_first_s = time.perf_counter() - t0
+    print(f"compile+first step: {compile_first_s:.1f}s", file=sys.stderr)
 
     from grtcode_tpu.gas_optics import lines as lines_mod
 
@@ -479,6 +535,21 @@ def main():
         "unit": "column*layer*wavenumber points/s (LW+SW)",
         "vs_baseline": value / REF_POINTS_PER_S,
     }
+    if opts.profile:
+        prof = _profile_kernels(step, args, chain)
+        if prof:
+            k_ms, total_ms, top = prof
+            result["profiled_kernel_ms_per_step"] = round(k_ms, 1)
+            result["profiled_device_ms_per_step"] = round(total_ms, 1)
+            if flops > 0 and k_ms > 0:
+                meas = flops / (k_ms * 1e-3) / 1e12
+                result["profiled_tflops"] = round(meas, 2)
+                result["profiled_mfu_vs_4tflops_f32_vpu"] = round(
+                    meas * 1e12 / V5E_F32_VPU_PEAK, 3)
+            print("profiled top device ops (ms/step): "
+                  + ", ".join(f"{n[:60]}={v:.1f}" for n, v in top),
+                  file=sys.stderr)
+    result["compile_first_s"] = round(compile_first_s, 1)
     try:
         stats = dev.memory_stats()
         peak = stats.get("peak_bytes_in_use")

@@ -176,3 +176,21 @@ def test_optics_update():
     assert o2.grid == grid
     with pytest.raises(ValueError):
         o.update(g=jnp.ones((3, grid.n)))
+
+
+def test_x64_validation_mode():
+    """The float64 validation mode (PARITY.md row 3): solvers under
+    jax_enable_x64 match the f64 reference C goldens to their print
+    precision (~1e-9) — run in a subprocess because x64 is a global jax
+    config this process must not inherit."""
+    import subprocess
+    import sys
+
+    tool = os.path.join(os.path.dirname(__file__), os.pardir, "tools",
+                        "x64_validate.py")
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    proc = subprocess.run([sys.executable, tool], capture_output=True,
+                          text=True, env=env, timeout=600)
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    assert "X64 OK" in proc.stdout

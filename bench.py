@@ -369,7 +369,10 @@ def _profile_kernels(step, args, chain, iters: int = 2):
     kernel_ms = sum(v for n, v in per_step.items()
                     if "voigt" in n.lower() or "custom" in n.lower()
                     or "bin_kernel" in n.lower())
-    total_ms = sum(per_step.values())
+    # The jit_* umbrella span contains every child op — it IS the
+    # device-busy time per step; summing everything would double count.
+    jit_spans = [v for n, v in per_step.items() if n.startswith("jit_")]
+    total_ms = max(jit_spans) if jit_spans else sum(per_step.values())
     top = sorted(per_step.items(), key=lambda kv: -kv[1])[:6]
     return kernel_ms, total_ms, top
 

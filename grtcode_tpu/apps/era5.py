@@ -401,6 +401,12 @@ def main(argv=None):
     driver = build_driver(lw_grid=lw_grid,
                           sw_grid=sw_grid if args.sw else None,
                           hitran_path=hitran, wcutoff=args.line_cutoff)
+    if hitran:
+        # Continua + -eq cross-section / CIA CSVs on every active band
+        # (driver.c:193-210, 616-625).
+        cli.register_cross_sections(
+            driver, args, cfc_options=("HFC-134a-eq", "CFC-12-eq"),
+            cia_pairs=CIA_PAIRS)
     if not args.clear:
         # All-sky tier: Pade band optics from the -liquid-path/-ice-path
         # files (run-era5.sh:116-145 runs ERA5 with clouds on via

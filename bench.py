@@ -72,7 +72,8 @@ SW_LINES = {1: 40000, 2: 10000, 3: 10000, 7: 4000}
 
 
 def build(smoke: bool = False, batch_size: int | None = None,
-          lw_method: str = "line_sample", lw_res: float = 0.1):
+          lw_method: str = "line_sample", lw_res: float = 0.1,
+          shared_hw: bool = False):
     """The benchmark model + batch; ``smoke`` shrinks everything for CI.
 
     ``lw_method`` selects the LW gas-optics method (line_sample is the
@@ -144,14 +145,15 @@ def build(smoke: bool = False, batch_size: int | None = None,
 
     lw_h2o, lw_o3 = continua(lw_grid)
     lw_gas = GasOptics(lw_grid, line_chunk=1024, h2o_ctm=lw_h2o,
-                       o3_ctm=lw_o3, method=lw_method)
+                       o3_ctm=lw_o3, method=lw_method,
+                       shared_near_hw=shared_hw)
     for seed, (mol, L) in enumerate(LW_LINES.items()):
         lw_gas.add_catalog(catalog(mol, lw_grid, max(64, L // shrink), seed))
     xsec_tables(lw_gas, lw_grid)
 
     sw_h2o, sw_o3 = continua(sw_grid)
     sw_gas = GasOptics(sw_grid, line_chunk=1024, h2o_ctm=sw_h2o,
-                       o3_ctm=sw_o3)
+                       o3_ctm=sw_o3, shared_near_hw=shared_hw)
     for seed, (mol, L) in enumerate(SW_LINES.items()):
         sw_gas.add_catalog(
             catalog(mol, sw_grid, max(64, L // shrink), 100 + seed))
@@ -403,6 +405,11 @@ def main():
                          "and report the MEASURED Voigt-kernel time (the "
                          "hardware cross-check of the analytic MFU "
                          "estimate, VERDICT r4 #8b)")
+    ap.add_argument("--shared-hw", action="store_true",
+                    help="pad every molecule's near-core window to the "
+                         "band max: ONE kernel signature per band "
+                         "(measured: -2.5% throughput, no start-up win "
+                         "here; kept as an A/B knob)")
     ap.add_argument("--lw-blocks", type=int, default=None,
                     help="stream the LW band in this many spectral "
                          "blocks inside one step (default: 1 at 0.1 "
@@ -424,7 +431,8 @@ def main():
 
     mth = ("line_sample" if opts.method == "line_sample" else opts.method)
     lw_gas, sw_gas, solar, batch, B, nlayers = build(
-        smoke, opts.batch, lw_method=mth, lw_res=opts.lw_res)
+        smoke, opts.batch, lw_method=mth, lw_res=opts.lw_res,
+        shared_hw=opts.shared_hw)
     chunk = opts.chunk if opts.chunk and opts.chunk < B else None
     lw_blocks = opts.lw_blocks
     if lw_blocks is None:

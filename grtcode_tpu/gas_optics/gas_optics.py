@@ -69,6 +69,15 @@ class GasOptics:
     tile_lchunk: int = 128     # lines per jnp tiled reduction step
     pallas: str = "auto"       # "auto" | "on" | "off" | "interpret"
     pallas_ch: int = 32        # lines per Pallas DMA chunk
+    # Pad every molecule's near-core half-width to the band maximum so
+    # all molecules share ONE compiled kernel signature per band.
+    # Value-identical (hw only sizes the unrolled offset window; the
+    # near mask decides membership — tested).  Raced on hardware: ~2.5%
+    # slower steps (62.6 vs 64.1 M pts/s) and NO measurable start-up
+    # win on this environment (42.1 vs 42.5 s warm compile+first), so
+    # it stays off by default; kept as the A/B knob for environments
+    # where per-kernel Mosaic lowering dominates start-up.
+    shared_near_hw: bool = False
     # Far-wing kernel data layout: "lines" = lines on sublanes, rows on
     # lanes, points sequential (default — measured fastest on v5e);
     # "points" = points on sublanes, rows on lanes, lines sequential (the
@@ -110,6 +119,7 @@ class GasOptics:
             self.grid.n, self.grid.w0, self.grid.dw, self.bin_width)
         self._bin_ranges_cache = {}
         self._bin_tables_cache = {}
+        self._shared_ranges_cache = {}
         self._raw_bounds = {}
         # Interpolation-point table for the Pallas bin path, padded to the
         # group multiple with SAFE rows ([0, 1, 2]: nonzero x1/x2 so the
@@ -152,6 +162,28 @@ class GasOptics:
                 self._raw_bounds[mol_id], self.bins, mode=mode,
                 remote_cutoff=self.wcutoff)
         return self._bin_ranges_cache[key]
+
+    def _hw_and_ranges(self, mol_id: int):
+        """(static near-core half-width, chunk tables) for the fused
+        kernel: per-molecule by default; the band maximum (rebuilt
+        chunk tables, cached) under ``shared_near_hw``.  Exactness is
+        unchanged either way — hw only sizes the unrolled offset
+        window, the |g - cidx| <= near mask decides membership."""
+        if not self.shared_near_hw:
+            return self.near_hw[mol_id], self.chunk_ranges[mol_id]
+        hw = max(self.near_hw.values())
+        if self.near_hw[mol_id] == hw:
+            return hw, self.chunk_ranges[mol_id]
+        key = (mol_id, hw)
+        if key not in self._shared_ranges_cache:
+            padded = self.molecules[mol_id]
+            margin = lines_mod.shift_margin(padded, self.grid.dw)
+            self._shared_ranges_cache[key] = pk.build_chunk_ranges(
+                padded.c0, self.grid.n, self._fsteps, self.tile,
+                self.pallas_ch, shift_margin=margin, near_hw=hw,
+                region0_hw=lines_mod.region0_halfwidth(padded,
+                                                       self.grid.dw))
+        return hw, self._shared_ranges_cache[key]
 
     def _get_bin_tables(self, mol_id: int):
         """Pallas bin-kernel chunk/range tables (host, cached)."""
@@ -370,12 +402,15 @@ class GasOptics:
                     # share one compiled kernel); hw itself stays static
                     # per molecule — it sets the near-core unroll length,
                     # and padding it to the band maximum measurably
-                    # wastes near-core work (~2% whole-bench).
+                    # wastes near-core work (~2% whole-bench) — unless
+                    # shared_near_hw trades that for one shared kernel
+                    # signature (fast start).
+                    hw, cranges = self._hw_and_ranges(mol_id)
                     tau = pk.accumulate_voigt_pallas(
-                        prep, bound.c0, ns, self.chunk_ranges[mol_id],
+                        prep, bound.c0, ns, cranges,
                         num_wpoints=nw, dw=float(self.grid.dw),
                         fsteps=self._fsteps, near=near,
-                        hw=self.near_hw[mol_id], tile=self.tile,
+                        hw=hw, tile=self.tile,
                         ch=self.pallas_ch,
                         num_global=self.grid.n, tau0=tau, start=start,
                         interpret=self.pallas == "interpret",

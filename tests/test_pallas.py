@@ -277,3 +277,46 @@ def test_transposed_far_layout_matches_jnp(setup, layout):
         np.testing.assert_allclose(
             got, ref[:, start:start + size], rtol=3e-6, atol=1e-12)
     assert np.abs(ref).max() > 0
+
+
+def test_shared_near_hw_identical():
+    """shared_near_hw=True (pad every molecule's near-core half-width to
+    the band max -> ONE kernel signature, the fast-lowering mode) must be
+    value-identical: hw only sizes the unrolled offset window, the
+    |g - cidx| <= near mask decides membership."""
+    import numpy as np
+
+    from grtcode_tpu.gas_optics.gas_optics import GasOptics
+    from grtcode_tpu.gas_optics.hitran import synthetic_catalog
+
+    # Fine grid + high wavenumbers: the near-core half-width (in grid
+    # points) then genuinely differs between light and heavy molecules.
+    grid = SpectralGrid(2000.0, 2060.0, 0.01)
+
+    def cat(mol, seed):
+        rng = np.random.default_rng(seed)   # fresh: identical catalogs
+        L = 90                              # for both GasOptics builds
+        vnn = np.sort(rng.uniform(1995.0, 2065.0, L))
+        return synthetic_catalog(
+            mol, vnn, rng.uniform(1e-22, 1e-19, L),
+            yair=rng.uniform(0.02, 0.1, L),
+            yself=rng.uniform(0.05, 0.4, L),
+            en=rng.uniform(0.0, 2000.0, L), n=rng.uniform(0.4, 0.8, L),
+            d=rng.uniform(-0.01, 0.01, L))
+
+    nlev = 6
+    p = np.linspace(1.0, 1000.0, nlev).astype(np.float32)
+    t = np.linspace(220.0, 290.0, nlev).astype(np.float32)
+    # Two molecules with different masses -> different near-core hw.
+    vmr = {1: np.full(nlev, 3e-3, np.float32),
+           2: np.full(nlev, 4e-4, np.float32)}
+    outs = {}
+    for shared in (False, True):
+        gas = GasOptics(grid, line_chunk=64, pallas="interpret",
+                        shared_near_hw=shared)
+        gas.add_catalog(cat(1, 0))
+        gas.add_catalog(cat(2, 1))
+        if shared:
+            assert len(set(gas.near_hw.values())) > 1  # genuinely pads
+        outs[shared] = np.asarray(gas.optical_depth(p, t, vmr))
+    np.testing.assert_array_equal(outs[True], outs[False])

@@ -312,7 +312,8 @@ def main(argv=None):
             ice=PadeCloudOptics.from_netcdf(args.ice_path)).driver_callback()
 
     res = driver.run(atm, integrated=True,
-                     mesh=cli.mesh_from_args(args))
+                     mesh=cli.mesh_from_args(args),
+                     spectral_chunks=args.spectral_chunks)
 
     # Per-level flux output file (circ.c create_flux_file/write_output,
     # :527-560: rlu/rld/rsu/rsd over the level dimension).

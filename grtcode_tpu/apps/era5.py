@@ -420,7 +420,8 @@ def main(argv=None):
             ice=PadeCloudOptics.from_netcdf(args.ice_path)
         ).driver_callback()
     res = driver.run(atm, integrated=args.integrated,
-                     mesh=cli.mesh_from_args(args))
+                     mesh=cli.mesh_from_args(args),
+                     spectral_chunks=args.spectral_chunks)
     with Dataset(args.input_file) as nc:
         nlon = nc.dim_size("lon")
         nlat = nc.dim_size("lat")

@@ -271,7 +271,8 @@ def main(argv=None):
                                     cfc_options=tuple(CFC_VARS),
                                     cia_pairs=CIA_PAIRS)
     res = driver.run(atm, integrated=args.integrated,
-                     mesh=cli.mesh_from_args(args))
+                     mesh=cli.mesh_from_args(args),
+                     spectral_chunks=args.spectral_chunks)
     write_fluxes(args.output, res, atm.level_pressure, x=args.x,
                  user_level=args.flux_at_level, lw_grid=lw_grid,
                  sw_grid=sw_grid)

@@ -47,6 +47,12 @@ def shared_parser(description: str) -> argparse.ArgumentParser:
     p.add_argument("-o3-ctm", dest="o3_ctm",
                    help="Ozone continuum CSV file.")
     p.add_argument("-v", "--verbose", action="store_true")
+    p.add_argument("-spectral-chunks", dest="spectral_chunks", type=int,
+                   default=None, metavar="N",
+                   help="Stream each band through N spectral blocks "
+                        "serially inside one compiled step (single "
+                        "device, integrated output) — bounds memory at "
+                        "fine resolutions like -r-lw 0.01.")
     p.add_argument("-mesh", default=None, metavar="CxS",
                    help="Shard over a (columns x spectral) device mesh, "
                         "e.g. '4x2' (the TPU-native equivalent of the "

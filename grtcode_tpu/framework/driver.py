@@ -127,7 +127,8 @@ class RadiationDriver:
 
     def run(self, atm: Atmosphere, integrated: bool = True,
             mesh=None, column_chunk: int | None = None,
-            col_index=None) -> FluxResults:
+            col_index=None,
+            spectral_chunks: int | None = None) -> FluxResults:
         """Compute all applicable sky tiers for the batch.
 
         With ``mesh`` (a (columns x spectral) jax Mesh, parallel.make_mesh),
@@ -148,7 +149,14 @@ class RadiationDriver:
         cloud keys (defaults to arange(batch)); the chunk recursion
         passes slices of it down so a chunked cloudy run reproduces the
         unchunked run's subcolumn realizations exactly.
+
+        ``spectral_chunks`` streams each band through that many
+        quantum-aligned spectral blocks SERIALLY inside one compiled
+        step (single device, integrated output): production resolutions
+        like 0.01 cm-1 then never materialize a band-global tau — the
+        single-chip analogue of the mesh's spectral axis.
         """
+        sc = 1 if spectral_chunks is None else int(spectral_chunks)
         ids = (np.arange(atm.batch) if col_index is None
                else np.asarray(col_index))
         if column_chunk is not None and atm.batch > column_chunk:
@@ -159,7 +167,8 @@ class RadiationDriver:
                 if n_pad:
                     idx = np.concatenate([idx, np.repeat(idx[:1], n_pad)])
                 r = self.run(atm.subset(idx), integrated=integrated,
-                             mesh=mesh, col_index=ids[idx])
+                             mesh=mesh, col_index=ids[idx],
+                             spectral_chunks=spectral_chunks)
                 parts.append((r, column_chunk - n_pad))
             tiers = {
                 t: {k: np.concatenate(
@@ -290,10 +299,10 @@ class RadiationDriver:
 
             lit_p, night_p = bucket_pad(lit), bucket_pad(night)
             out_lit = self._step(atm.clean, atm.clear, integrated, mesh,
-                                 with_sw=True)(
+                                 with_sw=True, spectral_chunks=sc)(
                 gather(dev, lit_p), gather(cloud_args, lit_p))
             out_night = self._step(atm.clean, atm.clear, integrated, mesh,
-                                   with_sw=False)(
+                                   with_sw=False, spectral_chunks=sc)(
                 gather(dev, night_p), gather(cloud_args, night_p))
 
             def scatter(a_lit, a_night):
@@ -307,7 +316,8 @@ class RadiationDriver:
                                jax.tree.map(np.asarray, out_night))
         else:
             out = self._step(atm.clean, atm.clear, integrated, mesh,
-                             with_sw=with_sw)(dev, cloud_args)
+                             with_sw=with_sw,
+                             spectral_chunks=sc)(dev, cloud_args)
         if not integrated and mesh is not None:
             # Sharded spectral blocks are tile-padded; trim each band
             # back to its grid length.
@@ -322,12 +332,19 @@ class RadiationDriver:
 
     # -- the jitted batched computation ------------------------------------
     def _step(self, clean: bool, clear: bool, integrated: bool, mesh=None,
-              with_sw: bool = True):
+              with_sw: bool = True, spectral_chunks: int = 1):
         """ONE step implementation for every sky tier, unsharded or over a
         (columns x spectral) mesh.  Under a mesh each shard computes its
         contiguous wavenumber block of gas/Rayleigh/aerosol/cloud optics
         and both solvers, and integrated fluxes psum over the spectral
         axis with exact per-block trapezoid weights.
+
+        ``spectral_chunks > 1`` (single device, integrated) streams the
+        SAME per-block computation SERIALLY inside one compiled step —
+        a fori_loop over quantum-aligned spectral blocks accumulating
+        the exactly-weighted integrals — so production resolutions
+        (e.g. 0.01 cm-1, 324 901 LW points) never materialize a
+        band-global tau (SURVEY hard-part #4) even without a mesh.
 
         ``with_sw=False`` builds the LW-only variant (night batches /
         the shipped-ERA5 configuration): SW fluxes are integrated zeros.
@@ -335,14 +352,16 @@ class RadiationDriver:
         # The cloud_optics OBJECT itself is part of the key (not its id):
         # holding it in the memo dict keeps it alive, so a later rebind
         # can never alias a recycled address to a stale compiled step.
-        key = (clean, clear, integrated, mesh, with_sw, self.sw_solver,
+        key = (clean, clear, integrated, mesh, with_sw, spectral_chunks,
+               self.sw_solver,
                self.disort_streams, self.num_subcolumns, self.cloud_seed,
                self.cloud_optics)
         try:
             return self._step_cache[key]
         except (KeyError, TypeError):   # TypeError: unhashable mesh
             pass
-        fn = self._build_step(clean, clear, integrated, mesh, with_sw)
+        fn = self._build_step(clean, clear, integrated, mesh, with_sw,
+                              spectral_chunks)
         try:
             self._step_cache[key] = fn
         except TypeError:
@@ -350,15 +369,19 @@ class RadiationDriver:
         return fn
 
     def _build_step(self, clean: bool, clear: bool, integrated: bool,
-                    mesh, with_sw: bool):
+                    mesh, with_sw: bool, spectral_chunks: int = 1):
         from ..parallel.mesh import COLUMNS_AXIS, SPECTRAL_AXIS
 
+        if spectral_chunks > 1 and (mesh is not None or not integrated):
+            raise ValueError("spectral_chunks streams serially on one "
+                             "device with integrated output (use a mesh "
+                             "for sharded or spectrally-resolved runs)")
         lwg = self.lw_gas.grid
         swg = (self.sw_gas.grid
                if self.sw_gas is not None and with_sw else None)
         sol_full = (self.solar.incident_flux if self.solar is not None
                     else jnp.zeros((1,), jnp.float32))
-        S = 1 if mesh is None else mesh.shape[SPECTRAL_AXIS]
+        S = spectral_chunks if mesh is None else mesh.shape[SPECTRAL_AXIS]
 
         def _block(n, quantum):
             """ceil(n / S) rounded up to the gas-optics block quantum
@@ -366,12 +389,13 @@ class RadiationDriver:
             Pallas bin methods — block starts must stay aligned)."""
             return -(-(-(-n // S)) // quantum) * quantum
 
-        block_lw = (lwg.n if mesh is None
-                    else _block(lwg.n, self.lw_gas.block_quantum))
+        chunked = mesh is not None or S > 1
+        block_lw = (_block(lwg.n, self.lw_gas.block_quantum) if chunked
+                    else lwg.n)
         block_sw = None
         if swg is not None:
-            block_sw = (swg.n if mesh is None
-                        else _block(swg.n, self.sw_gas.block_quantum))
+            block_sw = (_block(swg.n, self.sw_gas.block_quantum)
+                        if chunked else swg.n)
         # SW zero width for LW-only steps' placeholder outputs: spectral
         # mode needs SW-band-shaped zeros so a day-compacted night bucket
         # scatters consistently against the lit bucket's results.
@@ -381,12 +405,12 @@ class RadiationDriver:
             sw_zero_n = (g.n if mesh is None
                          else _block(g.n, self.sw_gas.block_quantum))
         sol_padded = (_pad_table(sol_full, block_sw)
-                      if swg is not None and mesh is not None else sol_full)
+                      if swg is not None and chunked else sol_full)
 
         def core(col, cloud_args, start_lw, start_sw):
             """The whole tier set on one spectral block [start, start+block)
-            of each band (the full band when mesh is None)."""
-            full = mesh is None
+            of each band (the full band when unchunked)."""
+            full = not chunked
             w_lw = jnp.float32(lwg.w0) + jnp.float32(lwg.dw) * (
                 start_lw + jnp.arange(block_lw, dtype=jnp.int32)
             ).astype(jnp.float32)
@@ -561,9 +585,50 @@ class RadiationDriver:
                 return col
             return {k: v for k, v in col.items() if k not in sw_keys}
 
-        if mesh is None:
+        if mesh is None and S == 1:
             return jax.jit(lambda col, cloud_args: core(prune(col),
                                                         cloud_args, 0, 0))
+
+        if mesh is None:
+            # Serial spectral streaming: fori over S quantum-aligned
+            # blocks, summing the exactly-weighted per-block integrals
+            # (the single-chip analogue of the mesh path's psum).  The
+            # per-column surface spectra pad to S x block and each
+            # iteration slices its own window, exactly like the mesh
+            # wrapper shards them.
+            spec_pads = {"emis": block_lw, "albedo_dir": block_sw,
+                         "albedo_dif": block_sw}
+
+            def streamed(col, cloud_args):
+                col = dict(prune(col))
+                for key, blk in spec_pads.items():
+                    if key in col and blk is not None and \
+                            col[key].ndim == 2:
+                        pad = S * blk - col[key].shape[-1]
+                        col[key] = jnp.pad(col[key], ((0, 0), (0, pad)))
+
+                def at_block(s):
+                    c = dict(col)
+                    for key, blk in spec_pads.items():
+                        if key in c and blk is not None and \
+                                c[key].ndim == 2:
+                            c[key] = jax.lax.dynamic_slice_in_dim(
+                                c[key], s * blk, blk, axis=1)
+                    return c
+
+                def body(s, acc):
+                    t = core(at_block(s), cloud_args, s * block_lw,
+                             s * (block_sw if block_sw is not None
+                                  else 0))
+                    return jax.tree.map(jnp.add, acc, t)
+
+                shapes = jax.eval_shape(
+                    lambda: core(at_block(jnp.int32(0)), cloud_args, 0, 0))
+                acc0 = jax.tree.map(
+                    lambda sd: jnp.zeros(sd.shape, sd.dtype), shapes)
+                return jax.lax.fori_loop(0, S, body, acc0)
+
+            return jax.jit(streamed)
 
         spectral_keys = ("emis", "albedo_dir", "albedo_dif")
 

@@ -140,9 +140,11 @@ def test_day_compaction_mixed_batch(driver, atm):
     calls = []
     orig = type(driver)._build_step
 
-    def spy(self, clean, clear, integrated, mesh, with_sw):
+    def spy(self, clean, clear, integrated, mesh, with_sw,
+            spectral_chunks=1):
         calls.append(with_sw)
-        return orig(self, clean, clear, integrated, mesh, with_sw)
+        return orig(self, clean, clear, integrated, mesh, with_sw,
+                    spectral_chunks)
 
     drv = dataclasses.replace(driver)   # fresh _step_cache
     type(driver)._build_step = spy
@@ -282,9 +284,10 @@ def test_day_compaction_under_mesh_and_spectral(driver, atm):
     calls = []
     orig = driver._step
 
-    def spy(clean, clear, integrated, mesh_, with_sw=True):
+    def spy(clean, clear, integrated, mesh_, with_sw=True, **kw):
         calls.append(with_sw)
-        return orig(clean, clear, integrated, mesh_, with_sw=with_sw)
+        return orig(clean, clear, integrated, mesh_, with_sw=with_sw,
+                    **kw)
 
     driver._step = spy
     try:
@@ -316,3 +319,25 @@ def test_day_compaction_under_mesh_and_spectral(driver, atm):
         # Spectral SW zeros carry the SW band's width, not the LW one.
         assert got_s.tiers[tier]["rsd"].shape[-1] == \
             driver.sw_gas.grid.n
+
+
+def test_spectral_chunks_streaming(driver, atm):
+    """run(spectral_chunks=N) streams each band through N quantum-aligned
+    spectral blocks SERIALLY inside one compiled step (the single-chip
+    analogue of the mesh's spectral axis — what makes -r-lw 0.01 fit in
+    HBM without a mesh): equal to the full-band run to per-block-weight
+    rounding, all tiers."""
+    B = 4
+    big = atm.subset(np.zeros(B, int))
+    full = driver.run(big, integrated=True)
+    chunked = driver.run(big, integrated=True, spectral_chunks=3)
+    for tier in full.tiers:
+        for var in ("rlu", "rld", "rsu", "rsd"):
+            np.testing.assert_allclose(
+                np.asarray(chunked.tiers[tier][var]),
+                np.asarray(full.tiers[tier][var]),
+                rtol=2e-5, atol=1e-4, err_msg=f"{tier}/{var}")
+    # Spectral-resolved or meshed streaming is rejected with a clear
+    # error (use a mesh for those).
+    with pytest.raises(ValueError, match="spectral_chunks"):
+        driver.run(big, integrated=False, spectral_chunks=2)

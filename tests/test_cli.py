@@ -80,3 +80,16 @@ def test_mesh_flag_rejects_bad_spec():
     args = p.parse_args(["none", "none", "-mesh", "nonsense"])
     with pytest.raises(SystemExit):
         cli.mesh_from_args(args)
+
+
+def test_circ_main_spectral_chunks(capsys, tmp_path):
+    """-spectral-chunks N streams each band serially inside one compiled
+    step through the CLI (the single-chip production-resolution mode):
+    the embedded case-1 integrated fluxes match the unchunked run."""
+    circ.main(["none", "none", "-o", "", "-spectral-chunks", "3"]
+              + COARSE)
+    out = capsys.readouterr().out
+    assert "RLUTCSAF" in out
+    for line in out.splitlines():
+        if line.startswith("RSDTCSAF"):
+            assert abs(float(line.split()[1]) - 912.80) < 1.0
